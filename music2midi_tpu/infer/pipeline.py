@@ -1,0 +1,231 @@
+"""Whole-song inference: audio file/waveform -> MIDI piano cover.
+
+Public API mirroring the reference `Music2MIDI.generate` / `sample_tokens`
+(reference music2midi/model.py:67-140) with a TPU-first execution plan:
+
+  * the song is zero-padded to a multiple of the 3-s window and reshaped to
+    a (num_chunks, 48000) batch — chunk-as-batch is the sequence-scaling
+    strategy (SURVEY.md §5 long-context): static shapes, embarrassingly
+    parallel
+  * chunk batches are padded up to a small set of bucket sizes so XLA
+    compiles a handful of programs, then mel + conditioning + encoder +
+    greedy decode run as ONE jitted TPU program per bucket
+  * token sequences come back to host once per song and are stitched by the
+    tokenizer's sequential mode (reference tokenizer.py:71-83)
+
+Checkpoint loading accepts the functional param pytree, an orbax directory,
+or the reference's PyTorch-Lightning .ckpt (via `models/convert.py`).
+"""
+
+from __future__ import annotations
+
+import functools
+from pathlib import Path
+from typing import List, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import audio
+from ..config import ConfigNode, resolve_config
+from ..midi import MidiFile
+from ..models.t5 import (
+    T5Config,
+    conditioning_prepend,
+    encode,
+    init_params,
+    t5_config_from,
+)
+from ..ops.mel import LogMelConfig, log_mel_spectrogram, log_mel_config_from
+from ..tokenizer import MidiTokenizer
+from ..utils import numpy_to_midi
+from .decode import DecodeConfig, generate_tokens
+
+_BUCKET_SIZES = (8, 16, 32, 64, 128)
+
+
+def _bucket(n: int, cap: int) -> int:
+    for b in _BUCKET_SIZES:
+        if n <= b and b <= cap:
+            return b
+    return cap
+
+
+class Music2MIDI:
+    """Song -> MIDI inference engine.
+
+    Example (mirrors demo.ipynb cell-4):
+        model = Music2MIDI.from_torch_checkpoint("epoch=799.ckpt")
+        midi = model.generate("song.wav")
+        midi.write("cover.mid")
+    """
+
+    def __init__(
+        self,
+        params,
+        config: Optional[Union[str, ConfigNode]] = None,
+        dtype=jnp.float32,
+        decode_max_length: int = 1024,
+    ):
+        self.config = resolve_config(config)
+        self.t5_config: T5Config = t5_config_from(self.config, dtype=dtype)
+        self.mel_config: LogMelConfig = log_mel_config_from(self.config)
+        self.tokenizer = MidiTokenizer(self.config)
+        self.params = params
+        self.decode_max_length = decode_max_length
+        self.num_conditioning = len(self.config.conditioning)
+        self._generate_fn = functools.partial(
+            _encode_and_generate,
+            t5_cfg=self.t5_config,
+            mel_cfg=self.mel_config,
+        )
+
+    # ------------------------------------------------------------------ #
+    # constructors                                                        #
+    # ------------------------------------------------------------------ #
+
+    @classmethod
+    def from_torch_checkpoint(
+        cls,
+        ckpt_path: Union[str, Path],
+        config: Optional[Union[str, ConfigNode]] = None,
+        **kw,
+    ) -> "Music2MIDI":
+        """Load the reference's Lightning checkpoint (weight converter —
+        SURVEY.md §5 checkpoint/resume)."""
+        import torch
+
+        from ..models.convert import reference_checkpoint_to_params
+
+        blob = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+        state_dict = blob.get("state_dict", blob)
+        cfg = resolve_config(config)
+        params = reference_checkpoint_to_params(
+            state_dict, t5_config_from(cfg)
+        )
+        return cls(params, cfg, **kw)
+
+    @classmethod
+    def from_random(
+        cls,
+        config: Optional[Union[str, ConfigNode]] = None,
+        seed: int = 0,
+        **kw,
+    ) -> "Music2MIDI":
+        cfg = resolve_config(config)
+        num_cond = tuple(len(v) for v in cfg.conditioning.values())
+        params = init_params(
+            jax.random.PRNGKey(seed), t5_config_from(cfg), num_cond
+        )
+        return cls(params, cfg, **kw)
+
+    @classmethod
+    def from_orbax(
+        cls,
+        ckpt_dir: Union[str, Path],
+        config: Optional[Union[str, ConfigNode]] = None,
+        **kw,
+    ) -> "Music2MIDI":
+        from ..train.checkpoint import restore_params
+
+        params, saved_cfg = restore_params(ckpt_dir)
+        return cls(params, config if config is not None else saved_cfg, **kw)
+
+    # ------------------------------------------------------------------ #
+    # inference                                                           #
+    # ------------------------------------------------------------------ #
+
+    def generate(
+        self,
+        audio_path: Optional[Union[str, Path]] = None,
+        audio_y: Optional[np.ndarray] = None,
+        sr: Optional[int] = None,
+        cond_index: Optional[Sequence[int]] = None,
+    ) -> MidiFile:
+        """Song -> MidiFile (reference model.py:67-99 semantics: load at
+        16 kHz, zero-pad to 3-s multiple, chunk, decode, stitch)."""
+        if audio_path is None and audio_y is None:
+            raise ValueError("Either audio_path or audio_y should be specified")
+        model_sr = int(self.config.model.sample_rate)
+        if sr is None:
+            sr = model_sr
+        elif sr != model_sr:
+            raise ValueError(f"sr must be {model_sr}, got {sr}")
+        if audio_y is None:
+            audio_y, sr = audio.load(audio_path, sr=model_sr)
+        audio_y = np.asarray(audio_y, dtype=np.float32)
+        notes = self.sample_notes(audio_y, cond_index)
+        return numpy_to_midi(notes)
+
+    def sample_notes(
+        self,
+        waveform: np.ndarray,
+        cond_index: Optional[Sequence[int]] = None,
+    ) -> np.ndarray:
+        """waveform (S,) at model sr -> stitched (N, 4) note array."""
+        split_duration = float(self.config.dataset.segment_duration)
+        split_size = int(
+            self.config.model.sample_rate * split_duration
+        )
+        n_chunks = max(1, -(-len(waveform) // split_size))
+        padded = np.zeros(n_chunks * split_size, dtype=np.float32)
+        padded[: len(waveform)] = waveform
+        chunks = padded.reshape(n_chunks, split_size)
+        tokens_list = self.sample_tokens_batched(chunks, cond_index)
+        return self.tokenizer.decode(
+            tokens_list, mode="sequential", duration_per_batch=split_duration
+        )
+
+    def sample_tokens_batched(
+        self,
+        chunks: np.ndarray,  # (N, split_size)
+        cond_index: Optional[Sequence[int]] = None,
+    ) -> List[np.ndarray]:
+        """Run the jitted mel->encode->decode program over chunk batches,
+        bucket-padded for compile-cache friendliness.  Returns one trimmed
+        int token array per chunk (order preserved)."""
+        max_bs = int(self.config.inference.batch_size)
+        if cond_index is None:
+            cond = np.zeros((self.num_conditioning,), dtype=np.int32)
+        else:
+            cond = np.asarray(cond_index, dtype=np.int32)
+        out: List[np.ndarray] = []
+        dcfg = DecodeConfig(max_length=self.decode_max_length)
+        for start in range(0, len(chunks), max_bs):
+            batch = chunks[start:start + max_bs]
+            n = len(batch)
+            b = _bucket(n, max_bs)
+            if n < b:
+                batch = np.concatenate(
+                    [batch, np.zeros((b - n, batch.shape[1]), np.float32)]
+                )
+            cond_batch = np.broadcast_to(cond, (b, len(cond))).copy()
+            tokens, lengths = self._generate_fn(
+                self.params,
+                jnp.asarray(batch),
+                jnp.asarray(cond_batch),
+                dcfg=dcfg,
+            )
+            tokens = np.asarray(jax.device_get(tokens))
+            lengths = np.asarray(jax.device_get(lengths))
+            for i in range(n):
+                out.append(tokens[i, : lengths[i]].astype(np.int64))
+        return out
+
+
+@functools.partial(jax.jit, static_argnames=("t5_cfg", "mel_cfg", "dcfg"))
+def _encode_and_generate(
+    params,
+    wave_chunks: jax.Array,  # (B, split_size)
+    cond_index: jax.Array,  # (B, n_cond)
+    t5_cfg: T5Config,
+    mel_cfg: LogMelConfig,
+    dcfg: DecodeConfig,
+):
+    """One TPU program: log-mel -> conditioning prepend -> encoder ->
+    greedy/sampling decode (reference call stack 3.1, fused on device)."""
+    mel = log_mel_spectrogram(wave_chunks, mel_cfg)
+    embeds = conditioning_prepend(params, mel, cond_index)
+    enc = encode(params, embeds, t5_cfg)
+    return generate_tokens(params, enc, t5_cfg, dcfg)

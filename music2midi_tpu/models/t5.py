@@ -1,0 +1,544 @@
+"""Functional T5 encoder-decoder for TPU — HF-`transformers` semantics.
+
+A ground-up JAX implementation of the model the reference instantiates as
+`T5ForConditionalGeneration(T5Config(**config.model.t5))` (reference
+music2midi/transformer.py:14-16).  Design goals:
+
+  * pure functions over an explicit parameter pytree (pjit/orbax friendly)
+  * numerics matching HF T5 so greedy decode is token-exact after weight
+    conversion (`models/convert.py`): RMSNorm with fp32 variance,
+    UNSCALED q·k attention (T5 absorbs 1/sqrt(d_kv) into init), relative
+    position buckets (32 buckets / max distance 128, bidirectional encoder,
+    causal decoder, bias owned by layer 0 and shared per stack), gated-GELU
+    ("gelu_new" tanh approximation) FFN, untied lm_head
+  * static shapes throughout; the decoder supports a preallocated KV cache
+    written at a dynamic step index for the `lax.while_loop` greedy decode
+    in `infer/decode.py`
+
+Model-shape facts (SURVEY.md §2): 6+6 layers, d_model=384, d_ff=1152,
+heads=8, d_kv=64 (attention inner dim 512 != d_model), vocab=400,
+dropout 0.1, layer-norm eps 1e-6, ~30 M params.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = Dict[str, Any]
+
+
+class T5Config(NamedTuple):
+    vocab_size: int = 400
+    d_model: int = 384
+    d_kv: int = 64
+    num_heads: int = 8
+    d_ff: int = 1152
+    num_layers: int = 6
+    num_decoder_layers: int = 6
+    relative_attention_num_buckets: int = 32
+    relative_attention_max_distance: int = 128
+    dropout_rate: float = 0.1
+    layer_norm_epsilon: float = 1e-6
+    pad_token_id: int = 0
+    eos_token_id: int = 2
+    decoder_start_token_id: int = 1
+    dtype: Any = jnp.float32  # compute dtype for matmuls
+
+
+def t5_config_from(config, dtype=jnp.float32) -> T5Config:
+    """Build from the shared YAML tree (reference config.yaml:17-31); keys
+    the YAML doesn't set inherit the HF T5Config defaults above."""
+    t5 = config.model.t5
+    return T5Config(
+        vocab_size=int(t5.vocab_size),
+        d_model=int(t5.d_model),
+        d_ff=int(t5.d_ff),
+        num_layers=int(t5.num_layers),
+        num_decoder_layers=int(t5.num_decoder_layers),
+        relative_attention_num_buckets=int(t5.relative_attention_num_buckets),
+        pad_token_id=int(t5.pad_token_id),
+        eos_token_id=int(t5.eos_token_id),
+        decoder_start_token_id=int(t5.decoder_start_token_id),
+        dtype=dtype,
+    )
+
+
+# --------------------------------------------------------------------- #
+# primitives                                                             #
+# --------------------------------------------------------------------- #
+
+
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+    """T5LayerNorm: no mean subtraction, variance in fp32."""
+    var = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    y = x.astype(jnp.float32) * jax.lax.rsqrt(var + eps)
+    return (weight * y.astype(x.dtype)).astype(x.dtype)
+
+
+def gelu_new(x: jax.Array) -> jax.Array:
+    """HF "gelu_new": tanh approximation (used by feed_forward_proj
+    gated-gelu)."""
+    x3 = x * x * x
+    return 0.5 * x * (1.0 + jnp.tanh(
+        np.sqrt(2.0 / np.pi).astype(np.float32) * (x + 0.044715 * x3)
+    ))
+
+
+def relative_position_bucket(
+    relative_position: jax.Array,
+    bidirectional: bool,
+    num_buckets: int,
+    max_distance: int,
+) -> jax.Array:
+    """HF T5Attention._relative_position_bucket, vectorized.
+
+    relative_position = key_pos - query_pos.
+    """
+    rel = relative_position
+    buckets = jnp.zeros_like(rel)
+    if bidirectional:
+        num_buckets //= 2
+        buckets += (rel > 0).astype(rel.dtype) * num_buckets
+        rel = jnp.abs(rel)
+    else:
+        rel = -jnp.minimum(rel, 0)
+    max_exact = num_buckets // 2
+    is_small = rel < max_exact
+    rel_f = jnp.maximum(rel.astype(jnp.float32), 1.0)  # guard log(0)
+    large = max_exact + (
+        jnp.log(rel_f / max_exact)
+        / np.log(max_distance / max_exact)
+        * (num_buckets - max_exact)
+    ).astype(rel.dtype)
+    large = jnp.minimum(large, num_buckets - 1)
+    return buckets + jnp.where(is_small, rel, large)
+
+
+def position_bias(
+    rel_bias_table: jax.Array,  # (num_buckets, heads)
+    query_positions: jax.Array,  # (Q,) int32
+    key_positions: jax.Array,  # (K,) int32
+    bidirectional: bool,
+    num_buckets: int,
+    max_distance: int,
+) -> jax.Array:
+    """-> (heads, Q, K) additive attention bias."""
+    rel = key_positions[None, :] - query_positions[:, None]
+    buckets = relative_position_bucket(
+        rel, bidirectional, num_buckets, max_distance
+    )
+    return jnp.transpose(rel_bias_table[buckets], (2, 0, 1))
+
+
+def _split_heads(x: jax.Array, num_heads: int, d_kv: int) -> jax.Array:
+    """(B, L, H*D) -> (B, H, L, D)"""
+    b, l, _ = x.shape
+    return x.reshape(b, l, num_heads, d_kv).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x: jax.Array) -> jax.Array:
+    """(B, H, L, D) -> (B, L, H*D)"""
+    b, h, l, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, l, h * d)
+
+
+def attention(
+    q: jax.Array,  # (B, H, Q, D)
+    k: jax.Array,  # (B, H, K, D)
+    v: jax.Array,  # (B, H, K, D)
+    bias: Optional[jax.Array],  # (H, Q, K) or (B, H, Q, K) additive
+    mask: Optional[jax.Array],  # (B, 1, Q, K) or broadcastable, 1=keep
+    dtype,
+) -> jax.Array:
+    """T5 attention: scores = q @ k^T (NO 1/sqrt(d) scaling) + bias;
+    softmax in fp32."""
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    )
+    if bias is not None:
+        scores = scores + bias.astype(jnp.float32)
+    if mask is not None:
+        scores = jnp.where(mask, scores, jnp.float32(-1e9))
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(dtype)
+    return jnp.einsum(
+        "bhqk,bhkd->bhqd", probs, v, preferred_element_type=jnp.float32
+    ).astype(dtype)
+
+
+def _proj(x: jax.Array, w: jax.Array, dtype) -> jax.Array:
+    """Bias-free linear: x (…, in) @ w (in, out)."""
+    return jnp.einsum(
+        "...i,io->...o", x.astype(dtype), w.astype(dtype),
+        preferred_element_type=jnp.float32,
+    ).astype(dtype)
+
+
+def _maybe_dropout(x, rate, rng, deterministic):
+    if deterministic or rate == 0.0:
+        return x, rng
+    rng, sub = jax.random.split(rng)
+    keep = jax.random.bernoulli(sub, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), 0).astype(x.dtype), rng
+
+
+# --------------------------------------------------------------------- #
+# layers                                                                 #
+# --------------------------------------------------------------------- #
+
+
+def self_attention_block(
+    p: Params,
+    x: jax.Array,
+    bias: Optional[jax.Array],
+    mask: Optional[jax.Array],
+    cfg: T5Config,
+) -> jax.Array:
+    q = _split_heads(_proj(x, p["q"], cfg.dtype), cfg.num_heads, cfg.d_kv)
+    k = _split_heads(_proj(x, p["k"], cfg.dtype), cfg.num_heads, cfg.d_kv)
+    v = _split_heads(_proj(x, p["v"], cfg.dtype), cfg.num_heads, cfg.d_kv)
+    out = attention(q, k, v, bias, mask, cfg.dtype)
+    return _proj(_merge_heads(out), p["o"], cfg.dtype)
+
+
+def mlp_block(p: Params, x: jax.Array, cfg: T5Config, rng=None,
+              deterministic=True) -> jax.Array:
+    """Gated-GELU FFN: wo(dropout(gelu_new(wi_0 x) * (wi_1 x)))."""
+    gate = gelu_new(_proj(x, p["wi_0"], cfg.dtype))
+    lin = _proj(x, p["wi_1"], cfg.dtype)
+    h = gate * lin
+    if not deterministic and rng is not None:
+        h, _ = _maybe_dropout(h, cfg.dropout_rate, rng, deterministic=False)
+    return _proj(h, p["wo"], cfg.dtype)
+
+
+# --------------------------------------------------------------------- #
+# encoder                                                                #
+# --------------------------------------------------------------------- #
+
+
+def encode(
+    params: Params,
+    inputs_embeds: jax.Array,  # (B, L, d_model) — mel + conditioning
+    cfg: T5Config,
+    deterministic: bool = True,
+    rng: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Encoder stack over inputs_embeds (the reference always feeds
+    embeddings, never token ids — transformer.py:35-37)."""
+    enc = params["encoder"]
+    L = inputs_embeds.shape[1]
+    pos = jnp.arange(L, dtype=jnp.int32)
+    bias = position_bias(
+        enc["rel_bias"], pos, pos, True,
+        cfg.relative_attention_num_buckets,
+        cfg.relative_attention_max_distance,
+    )[None]  # (1, H, L, L)
+    x = inputs_embeds.astype(cfg.dtype)
+    x, rng = _maybe_dropout(x, cfg.dropout_rate, rng, deterministic)
+    for layer in enc["layers"]:
+        h = rms_norm(x, layer["ln1"], cfg.layer_norm_epsilon)
+        h = self_attention_block(layer["self_attn"], h, bias, None, cfg)
+        h, rng = _maybe_dropout(h, cfg.dropout_rate, rng, deterministic)
+        x = x + h
+        h = rms_norm(x, layer["ln2"], cfg.layer_norm_epsilon)
+        h = mlp_block(layer["mlp"], h, cfg, rng, deterministic)
+        h, rng = _maybe_dropout(h, cfg.dropout_rate, rng, deterministic)
+        x = x + h
+    x = rms_norm(x, enc["final_ln"], cfg.layer_norm_epsilon)
+    x, rng = _maybe_dropout(x, cfg.dropout_rate, rng, deterministic)
+    return x
+
+
+# --------------------------------------------------------------------- #
+# decoder (full-sequence, for training / parity)                         #
+# --------------------------------------------------------------------- #
+
+
+def decoder_forward(
+    params: Params,
+    decoder_input_ids: jax.Array,  # (B, T)
+    encoder_hidden: jax.Array,  # (B, L, d_model)
+    cfg: T5Config,
+    decoder_attention_mask: Optional[jax.Array] = None,  # (B, T) 1=keep
+    deterministic: bool = True,
+    rng: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Full-sequence decoder -> logits (B, T, vocab)."""
+    dec = params["decoder"]
+    B, T = decoder_input_ids.shape
+    x = params["shared_embedding"][decoder_input_ids].astype(cfg.dtype)
+    x, rng = _maybe_dropout(x, cfg.dropout_rate, rng, deterministic)
+    pos = jnp.arange(T, dtype=jnp.int32)
+    bias = position_bias(
+        dec["rel_bias"], pos, pos, False,
+        cfg.relative_attention_num_buckets,
+        cfg.relative_attention_max_distance,
+    )[None]  # (1, H, T, T)
+    causal = jnp.tril(jnp.ones((T, T), dtype=bool))[None, None]
+    if decoder_attention_mask is not None:
+        causal = causal & decoder_attention_mask[:, None, None, :].astype(bool)
+    for layer in dec["layers"]:
+        h = rms_norm(x, layer["ln1"], cfg.layer_norm_epsilon)
+        h = self_attention_block(layer["self_attn"], h, bias, causal, cfg)
+        h, rng = _maybe_dropout(h, cfg.dropout_rate, rng, deterministic)
+        x = x + h
+        # cross attention: no position bias, full encoder visibility
+        h = rms_norm(x, layer["ln2"], cfg.layer_norm_epsilon)
+        ca = layer["cross_attn"]
+        q = _split_heads(_proj(h, ca["q"], cfg.dtype), cfg.num_heads, cfg.d_kv)
+        k = _split_heads(
+            _proj(encoder_hidden, ca["k"], cfg.dtype), cfg.num_heads, cfg.d_kv
+        )
+        v = _split_heads(
+            _proj(encoder_hidden, ca["v"], cfg.dtype), cfg.num_heads, cfg.d_kv
+        )
+        h = _proj(_merge_heads(attention(q, k, v, None, None, cfg.dtype)),
+                  ca["o"], cfg.dtype)
+        h, rng = _maybe_dropout(h, cfg.dropout_rate, rng, deterministic)
+        x = x + h
+        h = rms_norm(x, layer["ln3"], cfg.layer_norm_epsilon)
+        h = mlp_block(layer["mlp"], h, cfg, rng, deterministic)
+        h, rng = _maybe_dropout(h, cfg.dropout_rate, rng, deterministic)
+        x = x + h
+    x = rms_norm(x, dec["final_ln"], cfg.layer_norm_epsilon)
+    x, rng = _maybe_dropout(x, cfg.dropout_rate, rng, deterministic)
+    # untied lm_head (tie_word_embeddings=false, config.yaml:23): no
+    # d_model^-0.5 rescale
+    return _proj(x, params["lm_head"], cfg.dtype)
+
+
+def shift_right(labels: jax.Array, cfg: T5Config) -> jax.Array:
+    """HF T5 _shift_right: prepend decoder_start, drop last, -100 -> pad."""
+    shifted = jnp.concatenate(
+        [
+            jnp.full(
+                (labels.shape[0], 1), cfg.decoder_start_token_id,
+                dtype=labels.dtype,
+            ),
+            labels[:, :-1],
+        ],
+        axis=1,
+    )
+    return jnp.where(shifted == -100, cfg.pad_token_id, shifted)
+
+
+def cross_entropy_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """Token-mean CE with -100 ignore index (HF CrossEntropyLoss default)."""
+    valid = labels != -100
+    safe = jnp.where(valid, labels, 0)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    return jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1)
+
+
+def t5_forward(
+    params: Params,
+    inputs_embeds: jax.Array,
+    labels: jax.Array,
+    cfg: T5Config,
+    deterministic: bool = True,
+    rng: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Training forward: (loss, logits) — mirrors reference
+    transformer.py:28-39 (labels padded with -100)."""
+    if rng is not None:
+        rng_e, rng_d = jax.random.split(rng)
+    else:
+        rng_e = rng_d = None
+    enc = encode(params, inputs_embeds, cfg, deterministic, rng_e)
+    dec_in = shift_right(labels, cfg)
+    logits = decoder_forward(
+        params, dec_in, enc, cfg, deterministic=deterministic, rng=rng_d
+    )
+    return cross_entropy_loss(logits, labels), logits
+
+
+# --------------------------------------------------------------------- #
+# incremental decoding (static KV cache)                                 #
+# --------------------------------------------------------------------- #
+
+
+def precompute_cross_kv(
+    params: Params, encoder_hidden: jax.Array, cfg: T5Config
+) -> list:
+    """Per-layer cross-attention K/V from encoder output, computed once per
+    generation (HF recomputes per step unless cached; here it is explicit)."""
+    out = []
+    for layer in params["decoder"]["layers"]:
+        ca = layer["cross_attn"]
+        k = _split_heads(
+            _proj(encoder_hidden, ca["k"], cfg.dtype), cfg.num_heads, cfg.d_kv
+        )
+        v = _split_heads(
+            _proj(encoder_hidden, ca["v"], cfg.dtype), cfg.num_heads, cfg.d_kv
+        )
+        out.append((k, v))
+    return out
+
+
+def init_kv_cache(
+    batch: int, max_len: int, cfg: T5Config
+) -> list:
+    """Preallocated self-attention KV cache: per layer (K, V) of shape
+    (B, H, max_len, d_kv)."""
+    shape = (batch, cfg.num_heads, max_len, cfg.d_kv)
+    return [
+        (jnp.zeros(shape, cfg.dtype), jnp.zeros(shape, cfg.dtype))
+        for _ in range(cfg.num_decoder_layers)
+    ]
+
+
+def decode_step(
+    params: Params,
+    token: jax.Array,  # (B,) current input token
+    step: jax.Array,  # scalar int32: position of `token`
+    kv_cache: list,
+    cross_kv: list,
+    cfg: T5Config,
+    max_len: int,
+) -> Tuple[jax.Array, list]:
+    """One incremental decoder step -> (logits (B, vocab), new kv_cache).
+
+    The KV cache is written at `step`; attention masks keys > step.
+    """
+    dec = params["decoder"]
+    B = token.shape[0]
+    x = params["shared_embedding"][token][:, None].astype(cfg.dtype)  # (B,1,d)
+    key_pos = jnp.arange(max_len, dtype=jnp.int32)
+    # causal visibility: keys at positions <= step
+    visible = (key_pos <= step)[None, None, None, :]  # (1,1,1,K)
+    bias_row = position_bias(
+        dec["rel_bias"], step[None], key_pos, False,
+        cfg.relative_attention_num_buckets,
+        cfg.relative_attention_max_distance,
+    )[None]  # (1, H, 1, K)
+    new_cache = []
+    for i, layer in enumerate(dec["layers"]):
+        h = rms_norm(x, layer["ln1"], cfg.layer_norm_epsilon)
+        sa = layer["self_attn"]
+        q = _split_heads(_proj(h, sa["q"], cfg.dtype), cfg.num_heads, cfg.d_kv)
+        k_new = _split_heads(
+            _proj(h, sa["k"], cfg.dtype), cfg.num_heads, cfg.d_kv
+        )  # (B,H,1,D)
+        v_new = _split_heads(
+            _proj(h, sa["v"], cfg.dtype), cfg.num_heads, cfg.d_kv
+        )
+        k_all, v_all = kv_cache[i]
+        k_all = jax.lax.dynamic_update_slice(
+            k_all, k_new, (0, 0, step, 0)
+        )
+        v_all = jax.lax.dynamic_update_slice(
+            v_all, v_new, (0, 0, step, 0)
+        )
+        new_cache.append((k_all, v_all))
+        h = attention(q, k_all, v_all, bias_row, visible, cfg.dtype)
+        h = _proj(_merge_heads(h), sa["o"], cfg.dtype)
+        x = x + h
+        h = rms_norm(x, layer["ln2"], cfg.layer_norm_epsilon)
+        ca = layer["cross_attn"]
+        q = _split_heads(_proj(h, ca["q"], cfg.dtype), cfg.num_heads, cfg.d_kv)
+        ck, cv = cross_kv[i]
+        h = _proj(
+            _merge_heads(attention(q, ck, cv, None, None, cfg.dtype)),
+            ca["o"], cfg.dtype,
+        )
+        x = x + h
+        h = rms_norm(x, layer["ln3"], cfg.layer_norm_epsilon)
+        h = mlp_block(layer["mlp"], h, cfg)
+        x = x + h
+    x = rms_norm(x, dec["final_ln"], cfg.layer_norm_epsilon)
+    logits = _proj(x, params["lm_head"], cfg.dtype)
+    return logits[:, 0, :], new_cache
+
+
+# --------------------------------------------------------------------- #
+# initialization (HF T5 init scheme)                                     #
+# --------------------------------------------------------------------- #
+
+
+def init_params(
+    rng: jax.Array, cfg: T5Config, num_conditioning: Tuple[int, ...] = (6, 3)
+) -> Params:
+    """Random init matching HF T5's _init_weights factors so training from
+    scratch behaves like the reference: q ~ N(0, (d_model*d_kv)^-0.5),
+    k,v ~ N(0, d_model^-0.5), o ~ N(0, (heads*d_kv)^-0.5),
+    wi ~ N(0, d_model^-0.5), wo ~ N(0, d_ff^-0.5), embeddings ~ N(0, 1),
+    lm_head ~ N(0, d_model^-0.5), layer norms = 1."""
+    d, dk, h, dff = cfg.d_model, cfg.d_kv, cfg.num_heads, cfg.d_ff
+    inner = h * dk
+    keys = iter(jax.random.split(rng, 512))
+
+    def normal(shape, std):
+        return (jax.random.normal(next(keys), shape) * std).astype(jnp.float32)
+
+    def attn_params():
+        return {
+            "q": normal((d, inner), (d * dk) ** -0.5),
+            "k": normal((d, inner), d ** -0.5),
+            "v": normal((d, inner), d ** -0.5),
+            "o": normal((inner, d), inner ** -0.5),
+        }
+
+    def mlp_params():
+        return {
+            "wi_0": normal((d, dff), d ** -0.5),
+            "wi_1": normal((d, dff), d ** -0.5),
+            "wo": normal((dff, d), dff ** -0.5),
+        }
+
+    def enc_layer():
+        return {
+            "self_attn": attn_params(),
+            "ln1": jnp.ones((d,), jnp.float32),
+            "mlp": mlp_params(),
+            "ln2": jnp.ones((d,), jnp.float32),
+        }
+
+    def dec_layer():
+        return {
+            "self_attn": attn_params(),
+            "ln1": jnp.ones((d,), jnp.float32),
+            "cross_attn": attn_params(),
+            "ln2": jnp.ones((d,), jnp.float32),
+            "mlp": mlp_params(),
+            "ln3": jnp.ones((d,), jnp.float32),
+        }
+
+    return {
+        "shared_embedding": normal((cfg.vocab_size, d), 1.0),
+        "encoder": {
+            "layers": [enc_layer() for _ in range(cfg.num_layers)],
+            "rel_bias": normal(
+                (cfg.relative_attention_num_buckets, h), (d * dk) ** -0.5
+            ),
+            "final_ln": jnp.ones((d,), jnp.float32),
+        },
+        "decoder": {
+            "layers": [dec_layer() for _ in range(cfg.num_decoder_layers)],
+            "rel_bias": normal(
+                (cfg.relative_attention_num_buckets, h), (d * dk) ** -0.5
+            ),
+            "final_ln": jnp.ones((d,), jnp.float32),
+        },
+        "lm_head": normal((d, cfg.vocab_size), d ** -0.5),
+        # genre/difficulty embeddings prepended to the mel frames
+        # (reference input.py:44-59, transformer.py:23-26)
+        "conditioning": [normal((n, d), 1.0) for n in num_conditioning],
+    }
+
+
+def conditioning_prepend(
+    params: Params, features: jax.Array, cond_index: jax.Array
+) -> jax.Array:
+    """Prepend one embedding per conditioning type: (B, L, d) + (B, n_cond)
+    -> (B, n_cond + L, d) (reference input.py:50-59)."""
+    embeds = [
+        table[cond_index[:, i]]
+        for i, table in enumerate(params["conditioning"])
+    ]
+    stacked = jnp.stack(embeds, axis=1).astype(features.dtype)
+    return jnp.concatenate([stacked, features], axis=1)

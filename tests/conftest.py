@@ -2,16 +2,22 @@
 
 Tests run on CPU with 8 virtual XLA devices so multi-chip sharding logic is
 exercised without TPU hardware (SURVEY.md §4: the reference has no tests at
-all; this suite is designed from scratch).  Environment must be set before
-jax is imported anywhere.
+all; this suite is designed from scratch).
+
+The container's sitecustomize registers the `axon` TPU backend and forces
+jax_platforms programmatically, so the JAX_PLATFORMS env var alone is not
+enough — override via jax.config before any backend initializes.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
