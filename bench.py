@@ -1,0 +1,77 @@
+"""Headline benchmark: 3-minute songs per minute per chip.
+
+Runs the full song->MIDI pipeline (audio chunking -> log-mel -> T5 encode ->
+autoregressive greedy decode -> host detokenize/stitch) on the available
+accelerator and prints ONE JSON line:
+
+  {"metric": "songs_per_min_per_chip", "value": N,
+   "unit": "3min_songs/min/chip", "vs_baseline": N / 6.25}
+
+Baseline normalization: the driver's north-star target is >= 50 3-min
+songs/min on a v5e-8 (BASELINE.md), i.e. 6.25 songs/min/chip.
+
+No trained checkpoint ships with the reference repo, so the model is
+randomly initialized; to keep the measurement honest the EOS logit is
+disabled and every chunk decodes a fixed DECODE_TOKENS tokens — a
+conservative stand-in for trained-model output lengths (typical 3-s chunks
+emit ~30-150 tokens; we force 256).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+DECODE_TOKENS = 256  # forced tokens per 3-s chunk (conservative)
+N_SONGS = 8
+SONG_SECONDS = 180
+
+
+def main() -> None:
+    import jax
+
+    from music2midi_tpu.infer import Music2MIDI
+
+    engine = Music2MIDI.from_random(seed=0, decode_max_length=DECODE_TOKENS)
+    # disable EOS so random weights can't terminate early (honest decode
+    # length for an untrained model)
+    engine.params["lm_head"] = (
+        np.asarray(engine.params["lm_head"])
+        .astype(np.float32)
+    )
+    engine.params["lm_head"][:, engine.t5_config.eos_token_id] = -1e9
+    engine.params = jax.device_put(engine.params)
+
+    sr = int(engine.config.model.sample_rate)
+    rng = np.random.default_rng(0)
+    t = np.arange(SONG_SECONDS * sr) / sr
+    songs = [
+        (0.3 * np.sin(2 * np.pi * (200 + 40 * k) * t)
+         + 0.05 * rng.normal(size=len(t))).astype(np.float32)
+        for k in range(N_SONGS)
+    ]
+
+    # warmup: compile every bucket a 3-min song touches
+    engine.generate(audio_y=songs[0], sr=sr)
+
+    t0 = time.perf_counter()
+    n_notes = 0
+    for song in songs:
+        midi = engine.generate(audio_y=song, sr=sr)
+        n_notes += sum(len(i.notes) for i in midi.instruments)
+    elapsed = time.perf_counter() - t0
+
+    songs_per_min = N_SONGS / (elapsed / 60.0)
+    result = {
+        "metric": "songs_per_min_per_chip",
+        "value": round(songs_per_min, 2),
+        "unit": "3min_songs/min/chip",
+        "vs_baseline": round(songs_per_min / 6.25, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

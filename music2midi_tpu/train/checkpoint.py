@@ -1,0 +1,111 @@
+"""Checkpoint save/restore via orbax, with the config embedded.
+
+Replaces Lightning's ckpt handling (reference model.py:25
+save_hyperparameters; train.py:41 resume; SURVEY.md §5 checkpoint/resume):
+the YAML config rides inside the checkpoint so a restore never depends on an
+external file agreeing with the weights.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Optional, Tuple, Union
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from ..config import ConfigNode
+
+
+def save_train_state(
+    ckpt_dir: Union[str, Path],
+    state,
+    config: Optional[ConfigNode] = None,
+    keep: int = 3,
+) -> None:
+    """Save {params, opt_state, step} (+ config JSON) under
+    ckpt_dir/step_{N}."""
+    ckpt_dir = Path(ckpt_dir).resolve()
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+    step = int(jax.device_get(state.step))
+    path = ckpt_dir / f"step_{step:08d}"
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path / "state", _to_savable(state), force=True)
+    ckptr.wait_until_finished()
+    if config is not None:
+        (path / "config.json").write_text(json.dumps(config.to_dict()))
+    _prune_old(ckpt_dir, keep)
+
+
+def _to_savable(state):
+    return jax.tree.map(np.asarray, state)
+
+
+def _prune_old(ckpt_dir: Path, keep: int) -> None:
+    steps = sorted(ckpt_dir.glob("step_*"))
+    for old in steps[:-keep]:
+        import shutil
+
+        shutil.rmtree(old, ignore_errors=True)
+
+
+def latest_checkpoint(ckpt_dir: Union[str, Path]) -> Optional[Path]:
+    ckpt_dir = Path(ckpt_dir)
+    if not ckpt_dir.exists():
+        return None
+    steps = sorted(ckpt_dir.glob("step_*"))
+    return steps[-1] if steps else None
+
+
+def restore_train_state(
+    path: Union[str, Path], abstract_state
+) -> Tuple[object, Optional[ConfigNode]]:
+    """Restore from a step_N dir (or a ckpt_dir, taking the latest).
+    abstract_state: a pytree of the same structure (e.g. a freshly built
+    TrainState) used as the restore template."""
+    path = Path(path).resolve()
+    if not (path / "state").exists():
+        latest = latest_checkpoint(path)
+        if latest is None:
+            raise FileNotFoundError(f"no checkpoint under {path}")
+        path = latest
+    ckptr = ocp.StandardCheckpointer()
+    template = jax.tree.map(
+        lambda x: ocp.utils.to_shape_dtype_struct(x), _to_savable(abstract_state)
+    )
+    state = ckptr.restore(path / "state", template)
+    cfg = None
+    cfg_file = path / "config.json"
+    if cfg_file.exists():
+        cfg = ConfigNode(json.loads(cfg_file.read_text()))
+    return state, cfg
+
+
+def save_params(
+    ckpt_dir: Union[str, Path], params, config: Optional[ConfigNode] = None
+) -> None:
+    """Inference-only export: just the params (+ config)."""
+    ckpt_dir = Path(ckpt_dir).resolve()
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(ckpt_dir / "params", jax.tree.map(np.asarray, params),
+               force=True)
+    ckptr.wait_until_finished()
+    if config is not None:
+        (ckpt_dir / "config.json").write_text(json.dumps(config.to_dict()))
+
+
+def restore_params(
+    ckpt_dir: Union[str, Path]
+) -> Tuple[object, Optional[ConfigNode]]:
+    """Restore an inference params export (no template: orbax infers)."""
+    ckpt_dir = Path(ckpt_dir).resolve()
+    ckptr = ocp.StandardCheckpointer()
+    params = ckptr.restore(ckpt_dir / "params")
+    cfg = None
+    cfg_file = ckpt_dir / "config.json"
+    if cfg_file.exists():
+        cfg = ConfigNode(json.loads(cfg_file.read_text()))
+    return params, cfg
