@@ -67,6 +67,7 @@ class Music2MIDI:
         config: Optional[Union[str, ConfigNode]] = None,
         dtype=jnp.float32,
         decode_max_length: int = 1024,
+        device_detokenize: bool = True,
     ):
         self.config = resolve_config(config)
         self.t5_config: T5Config = t5_config_from(self.config, dtype=dtype)
@@ -74,6 +75,7 @@ class Music2MIDI:
         self.tokenizer = MidiTokenizer(self.config)
         self.params = params
         self.decode_max_length = decode_max_length
+        self.device_detokenize = device_detokenize
         self.num_conditioning = len(self.config.conditioning)
         self._generate_fn = functools.partial(
             _encode_and_generate,
@@ -163,7 +165,12 @@ class Music2MIDI:
         waveform: np.ndarray,
         cond_index: Optional[Sequence[int]] = None,
     ) -> np.ndarray:
-        """waveform (S,) at model sr -> stitched (N, 4) note array."""
+        """waveform (S,) at model sr -> stitched (N, 4) note array.
+
+        Detokenization runs on device by default (ops/detokenize.py) so the
+        token batch never serializes through the host state machine; the
+        host-tokenizer path remains as a cross-checked fallback
+        (device_detokenize=False)."""
         split_duration = float(self.config.dataset.segment_duration)
         split_size = int(
             self.config.model.sample_rate * split_duration
@@ -172,25 +179,41 @@ class Music2MIDI:
         padded = np.zeros(n_chunks * split_size, dtype=np.float32)
         padded[: len(waveform)] = waveform
         chunks = padded.reshape(n_chunks, split_size)
+        n_steps = round(split_duration / self.tokenizer.time_step)
+        if self.device_detokenize:
+            from ..ops.detokenize import detokenize_to_host
+
+            parts: List[np.ndarray] = []
+            for start, tokens in self._token_batches(chunks, cond_index):
+                b = tokens.shape[0]
+                start_idx = (np.arange(start, start + b) * n_steps).astype(
+                    np.int32
+                )
+                parts.extend(
+                    detokenize_to_host(
+                        tokens, start_idx, self.tokenizer.time_step
+                    )
+                )
+            if not parts:
+                return np.zeros((0, 4))
+            return np.concatenate(parts)
         tokens_list = self.sample_tokens_batched(chunks, cond_index)
         return self.tokenizer.decode(
             tokens_list, mode="sequential", duration_per_batch=split_duration
         )
 
-    def sample_tokens_batched(
+    def _token_batches(
         self,
         chunks: np.ndarray,  # (N, split_size)
         cond_index: Optional[Sequence[int]] = None,
-    ) -> List[np.ndarray]:
-        """Run the jitted mel->encode->decode program over chunk batches,
-        bucket-padded for compile-cache friendliness.  Returns one trimmed
-        int token array per chunk (order preserved)."""
+    ):
+        """Yield (global_chunk_start, device_tokens (n, max_len)) per batch —
+        bucket-padded for compile-cache friendliness, pad rows trimmed."""
         max_bs = int(self.config.inference.batch_size)
         if cond_index is None:
             cond = np.zeros((self.num_conditioning,), dtype=np.int32)
         else:
             cond = np.asarray(cond_index, dtype=np.int32)
-        out: List[np.ndarray] = []
         dcfg = DecodeConfig(max_length=self.decode_max_length)
         for start in range(0, len(chunks), max_bs):
             batch = chunks[start:start + max_bs]
@@ -201,16 +224,27 @@ class Music2MIDI:
                     [batch, np.zeros((b - n, batch.shape[1]), np.float32)]
                 )
             cond_batch = np.broadcast_to(cond, (b, len(cond))).copy()
-            tokens, lengths = self._generate_fn(
+            tokens, _ = self._generate_fn(
                 self.params,
                 jnp.asarray(batch),
                 jnp.asarray(cond_batch),
                 dcfg=dcfg,
             )
-            tokens = np.asarray(jax.device_get(tokens))
-            lengths = np.asarray(jax.device_get(lengths))
-            for i in range(n):
-                out.append(tokens[i, : lengths[i]].astype(np.int64))
+            yield start, tokens[:n]
+
+    def sample_tokens_batched(
+        self,
+        chunks: np.ndarray,  # (N, split_size)
+        cond_index: Optional[Sequence[int]] = None,
+    ) -> List[np.ndarray]:
+        """Token sequences per chunk, EOS-trimmed, on host."""
+        out: List[np.ndarray] = []
+        for _, tokens in self._token_batches(chunks, cond_index):
+            arr = np.asarray(jax.device_get(tokens))
+            for row in arr:
+                eos = np.nonzero(row == self.t5_config.eos_token_id)[0]
+                end = int(eos[0]) + 1 if len(eos) else len(row)
+                out.append(row[:end].astype(np.int64))
         return out
 
 

@@ -139,3 +139,17 @@ def test_pipeline_cond_index_changes_output(engine):
 def test_pipeline_rejects_wrong_sr(engine):
     with pytest.raises(ValueError):
         engine.generate(audio_y=np.zeros(1000, np.float32), sr=22050)
+
+
+def test_device_vs_host_detokenize_equivalence():
+    """The full pipeline must produce identical notes through the device
+    detokenizer and the host tokenizer state machine."""
+    dev_engine = Music2MIDI.from_random(seed=2, decode_max_length=48,
+                                        device_detokenize=True)
+    host_engine = Music2MIDI.from_random(seed=2, decode_max_length=48,
+                                         device_detokenize=False)
+    rng = np.random.default_rng(5)
+    wave = (rng.normal(size=7 * 16000) * 0.2).astype(np.float32)
+    a = dev_engine.sample_notes(wave)
+    b = host_engine.sample_notes(wave)
+    np.testing.assert_allclose(a, b, atol=1e-9)
