@@ -1,0 +1,79 @@
+"""Evaluation CLI — `python evaluate.py DATA_DIR --ckpt CKPT [--config
+--name]`: per-song melody chroma accuracy over the test split, written to
+score-{name}.csv (reference evaluate.py:13-52, methodology unchanged).
+
+--ckpt accepts an orbax params/train dir or a reference PyTorch .ckpt.
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import yaml
+
+
+def load_engine(ckpt: str, config_path: str):
+    from music2midi_tpu.infer import Music2MIDI
+
+    if ckpt is None:
+        return Music2MIDI.from_random(config=config_path)
+    p = Path(ckpt)
+    if p.suffix == ".ckpt" or p.suffix == ".pt":
+        return Music2MIDI.from_torch_checkpoint(p, config_path)
+    return Music2MIDI.from_orbax(p, config_path)
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("data_dir", type=str)
+    parser.add_argument("--ckpt", type=str, default=None)
+    parser.add_argument("--config", type=str, default="config.yaml")
+    parser.add_argument("--name", type=str, default="music2midi")
+    args = parser.parse_args()
+
+    from music2midi_tpu.config import load_config
+    from music2midi_tpu.evaluation import evaluate_batch
+    from music2midi_tpu.utils import numpy_to_midi
+
+    data_dir = Path(args.data_dir)
+    split = np.load(data_dir / "dataset_split.npz", allow_pickle=True)
+    test_ids = split["test_id"]
+    config = load_config(args.config)
+    engine = load_engine(args.ckpt, args.config)
+
+    logs = []
+    for i, piano_id in enumerate(test_ids):
+        with open(data_dir / "metadata" / f"{piano_id}.yaml") as f:
+            meta = yaml.safe_load(f)
+        genre = meta["piano"]["genre"]
+        difficulty = meta["piano"]["difficulty"]
+        cond_index = [
+            list(config.conditioning.genre).index(genre),
+            list(config.conditioning.difficulty).index(difficulty),
+        ]
+        label_midi = numpy_to_midi(
+            np.load(data_dir / "midi_numpy" / f"{piano_id}.npy")
+        )
+        audio_path = data_dir / "audio" / f"{piano_id}.wav"
+        output_midi = engine.generate(
+            audio_path=audio_path, cond_index=cond_index
+        )
+        score = evaluate_batch([label_midi], [output_midi])
+        logs.append([piano_id, args.name, genre, difficulty, score])
+        print(
+            f"[{i + 1}/{len(test_ids)}] {piano_id}: score={score:.4f}"
+        )
+
+    df = pd.DataFrame(
+        logs, columns=["piano_id", "model", "genre", "difficulty", "score"]
+    )
+    out = f"score-{args.name}.csv"
+    df.to_csv(out, index=False)
+    print(f"mean score: {df['score'].mean():.4f} -> {out}")
+
+
+if __name__ == "__main__":
+    main()

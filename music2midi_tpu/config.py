@@ -44,10 +44,24 @@ class ConfigNode(Mapping):
 
     # -- attribute access --------------------------------------------------
     def __getattr__(self, key: str) -> Any:
+        # guard: during unpickling __getattr__ runs before __init__, so
+        # self._data may not exist yet — avoid infinite recursion
+        data = object.__getattribute__(self, "__dict__").get("_data")
+        if data is None or key.startswith("__"):
+            raise AttributeError(key)
         try:
-            return self._data[key]
+            return data[key]
         except KeyError:
             raise AttributeError(key) from None
+
+    # -- pickling -----------------------------------------------------------
+    def __getstate__(self) -> dict:
+        return {"data": self.to_dict()}
+
+    def __setstate__(self, state: dict) -> None:
+        object.__setattr__(self, "_data", {})
+        for k, v in state["data"].items():
+            self._data[k] = _wrap(v)
 
     def __setattr__(self, key: str, value: Any) -> None:
         self._data[key] = _wrap(value)

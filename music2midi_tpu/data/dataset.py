@@ -1,0 +1,255 @@
+"""Training/validation data pipeline.
+
+Host-side equivalent of the reference runtime dataset (reference
+music2midi/dataset.py:15-167) feeding the pjit train step:
+
+  * per-song metadata YAML -> conditioning indices
+  * __getitem__: rejection-sample a random 3-s window until it holds
+    0 < notes <= max_notes_per_second * 3, load that window, 50% peak
+    normalize, random transpose in [-6, +5] semitones (waveform via phase
+    vocoder, pitches via integer shift)
+  * NOTE (preserved reference quirk, SURVEY.md §2): windows are loaded at
+    config.dataset.sample_rate (22050), not the model rate (16000) —
+    training mel windows are therefore 259 frames vs 188 at inference,
+    exactly as the reference trains (dataset.py:124-129 vs config.yaml:16)
+  * DataLoader: process-pool prefetch (the reference's worker processes),
+    collating to the train step's Batch (labels tokenized + -100 padded)
+
+Augmentation cost note: pitch shift is the single most expensive host op
+per sample (SURVEY.md §3.2); the pool pipelines it with device steps, and a
+native C++ kernel can be swapped in via music2midi_tpu.dsp.
+"""
+
+from __future__ import annotations
+
+import os
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
+from pathlib import Path
+from typing import Iterator, List, Optional, Sequence, Union
+
+import numpy as np
+import yaml
+
+from ..audio import get_duration, load, normalize
+from ..config import ConfigNode, resolve_config
+from ..dsp import pitch_shift
+from ..tokenizer import MidiTokenizer
+from ..train.loop import Batch, pad_labels
+
+
+class MetadataDict:
+    """piano_id -> conditioning indices from per-song metadata YAMLs
+    (reference dataset.py:15-39)."""
+
+    def __init__(
+        self,
+        piano_ids: Sequence[str],
+        data_dir: Union[str, Path],
+        config: Optional[Union[str, ConfigNode]] = None,
+    ):
+        self.data_dir = Path(data_dir)
+        cfg = resolve_config(config)
+        self.key_dict = {
+            key: {item: i for i, item in enumerate(cfg.conditioning[key])}
+            for key in cfg.conditioning.keys()
+        }
+        self.meta = {}
+        for pid in piano_ids:
+            path = self.data_dir / "metadata" / f"{pid}.yaml"
+            with open(path) as f:
+                self.meta[pid] = yaml.safe_load(f)
+
+    def get(self, piano_id: str) -> List[int]:
+        piano = self.meta[piano_id]["piano"]
+        return [v[piano[k]] for k, v in self.key_dict.items()]
+
+
+def get_notes_segment(
+    notes: np.ndarray,
+    start_time: float,
+    end_time: float,
+    shift_to_start_time: bool = False,
+) -> np.ndarray:
+    """Notes whose ONSET falls inside [start, end) (reference
+    dataset.py:145-154 — offsets may extend past the window)."""
+    ret = notes[(notes[:, 0] >= start_time) & (notes[:, 0] < end_time)].copy()
+    if shift_to_start_time:
+        ret[:, :2] -= start_time
+    return ret
+
+
+class Music2MIDIDataset:
+    def __init__(
+        self,
+        data_dir: Union[str, Path],
+        piano_ids: Sequence[str],
+        config: Optional[Union[str, ConfigNode]] = None,
+    ):
+        self.config = resolve_config(config)
+        self.data_dir = Path(data_dir)
+        self.piano_ids = list(piano_ids)
+        self.metadata = MetadataDict(self.piano_ids, data_dir, self.config)
+        self.audio_paths = [
+            str(self.data_dir / "audio" / f"{pid}.wav")
+            for pid in self.piano_ids
+        ]
+        self.midi_notes = [
+            np.load(self.data_dir / "midi_numpy" / f"{pid}.npy")
+            for pid in self.piano_ids
+        ]
+        self.cond_indices = [self.metadata.get(pid) for pid in self.piano_ids]
+        self._durations = [None] * len(self.piano_ids)
+
+    def __len__(self) -> int:
+        return len(self.piano_ids)
+
+    def _duration(self, index: int) -> float:
+        if self._durations[index] is None:
+            self._durations[index] = get_duration(self.audio_paths[index])
+        return self._durations[index]
+
+    def __getitem__(self, index: int, rng: Optional[np.random.Generator] = None):
+        """-> (waveform f32, notes (N,4), cond list[int]).  Randomness uses
+        the passed Generator (reproducible across worker processes)."""
+        if rng is None:
+            rng = np.random.default_rng()
+        cfg = self.config.dataset
+        seg = float(cfg.segment_duration)
+        max_notes = int(cfg.max_notes_per_second) * seg
+        duration = self._duration(index)
+        starts = np.arange(0, duration - seg, seg)
+        if len(starts) == 0:
+            starts = np.array([0.0])
+        # rejection-sample a window with 0 < notes <= max (reference
+        # dataset.py:110-121; bounded here to avoid the reference's
+        # unbounded while-loop on empty songs)
+        for _ in range(256):
+            start_time = float(rng.choice(starts))
+            notes_segment = get_notes_segment(
+                self.midi_notes[index], start_time, start_time + seg,
+                shift_to_start_time=True,
+            )
+            if 0 < len(notes_segment) <= max_notes:
+                break
+        else:
+            raise RuntimeError(
+                f"no valid {seg}s window in {self.piano_ids[index]}"
+            )
+        waveform, sr = load(
+            self.audio_paths[index],
+            sr=int(cfg.sample_rate),
+            offset=start_time,
+            duration=seg,
+        )
+        target_len = int(round(seg * int(cfg.sample_rate)))
+        if len(waveform) < target_len:
+            waveform = np.pad(waveform, (0, target_len - len(waveform)))
+        waveform = waveform[:target_len]
+        if rng.random() < 0.5:
+            waveform = normalize(waveform)
+        step = int(rng.integers(-6, 6))
+        if step != 0:
+            waveform = pitch_shift(waveform, sr, step)
+            notes_segment[:, 2] += step
+        return waveform, notes_segment, self.cond_indices[index]
+
+
+def _worker_fetch(args):
+    dataset, index, seed = args
+    rng = np.random.default_rng(seed)
+    return dataset.__getitem__(index, rng)
+
+
+class DataLoader:
+    """Prefetching loader over __getitem__, collated to the train step's
+    Batch (reference DataLoader(batch=16, workers=4) + collate_fn,
+    dataset.py:64-78,163-167).
+
+    Workers are THREADS by default: the per-sample hot ops (rfft/irfft in
+    the phase vocoder, scipy resample_poly, file reads) all release the
+    GIL, and forking a process that already initialized the TPU client
+    deadlocks (observed: train.py hang with a fork pool).  Set
+    use_processes=True for a spawn-context process pool — spawned children
+    get PALLAS_AXON_POOL_IPS scrubbed so they do not race the parent for
+    the TPU."""
+
+    def __init__(
+        self,
+        dataset: Music2MIDIDataset,
+        batch_size: int = 16,
+        num_workers: int = 4,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = True,
+        use_processes: bool = False,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.num_workers = max(0, num_workers)
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.use_processes = use_processes
+        self.tokenizer = MidiTokenizer(dataset.config)
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def _index_order(self) -> np.ndarray:
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.default_rng(self.seed + self.epoch).shuffle(order)
+        return order
+
+    def __iter__(self) -> Iterator[Batch]:
+        order = self._index_order()
+        base_seed = (self.seed * 100003 + self.epoch) & 0x7FFFFFFF
+        jobs = [
+            (self.dataset, int(i), base_seed + k)
+            for k, i in enumerate(order)
+        ]
+        if self.num_workers > 0 and self.use_processes:
+            import multiprocessing
+
+            saved = os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+            os.environ["JAX_PLATFORMS"] = "cpu"
+            try:
+                ctx = multiprocessing.get_context("spawn")
+                with ProcessPoolExecutor(
+                    max_workers=self.num_workers, mp_context=ctx
+                ) as pool:
+                    results = pool.map(_worker_fetch, jobs, chunksize=4)
+                    yield from self._collate_stream(results)
+            finally:
+                if saved is not None:
+                    os.environ["PALLAS_AXON_POOL_IPS"] = saved
+        elif self.num_workers > 0:
+            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                results = pool.map(_worker_fetch, jobs)
+                yield from self._collate_stream(results)
+        else:
+            yield from self._collate_stream(map(_worker_fetch, jobs))
+        self.epoch += 1
+
+    def _collate_stream(self, results) -> Iterator[Batch]:
+        buf = []
+        for item in results:
+            buf.append(item)
+            if len(buf) == self.batch_size:
+                yield self._collate(buf)
+                buf = []
+        if buf and not self.drop_last:
+            yield self._collate(buf)
+
+    def _collate(self, items) -> Batch:
+        waveforms = np.stack([w for w, _, _ in items]).astype(np.float32)
+        tokens = [
+            self.tokenizer.encode(notes) for _, notes, _ in items
+        ]
+        labels = pad_labels(tokens)
+        cond = np.asarray([c for _, _, c in items], dtype=np.int32)
+        return Batch(waveforms, labels, cond)

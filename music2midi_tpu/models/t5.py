@@ -467,13 +467,17 @@ def init_params(
     scratch behaves like the reference: q ~ N(0, (d_model*d_kv)^-0.5),
     k,v ~ N(0, d_model^-0.5), o ~ N(0, (heads*d_kv)^-0.5),
     wi ~ N(0, d_model^-0.5), wo ~ N(0, d_ff^-0.5), embeddings ~ N(0, 1),
-    lm_head ~ N(0, d_model^-0.5), layer norms = 1."""
+    lm_head ~ N(0, d_model^-0.5), layer norms = 1.
+
+    Sampling happens on host (numpy): dispatching ~150 tiny jax.random
+    programs to a TPU costs ~100 s of compiles for a one-time init."""
     d, dk, h, dff = cfg.d_model, cfg.d_kv, cfg.num_heads, cfg.d_ff
     inner = h * dk
-    keys = iter(jax.random.split(rng, 512))
+    seed = np.asarray(jax.random.key_data(rng)).ravel()
+    host_rng = np.random.default_rng([int(x) for x in seed])
 
     def normal(shape, std):
-        return (jax.random.normal(next(keys), shape) * std).astype(jnp.float32)
+        return (host_rng.normal(size=shape) * std).astype(np.float32)
 
     def attn_params():
         return {
@@ -493,19 +497,19 @@ def init_params(
     def enc_layer():
         return {
             "self_attn": attn_params(),
-            "ln1": jnp.ones((d,), jnp.float32),
+            "ln1": np.ones((d,), np.float32),
             "mlp": mlp_params(),
-            "ln2": jnp.ones((d,), jnp.float32),
+            "ln2": np.ones((d,), np.float32),
         }
 
     def dec_layer():
         return {
             "self_attn": attn_params(),
-            "ln1": jnp.ones((d,), jnp.float32),
+            "ln1": np.ones((d,), np.float32),
             "cross_attn": attn_params(),
-            "ln2": jnp.ones((d,), jnp.float32),
+            "ln2": np.ones((d,), np.float32),
             "mlp": mlp_params(),
-            "ln3": jnp.ones((d,), jnp.float32),
+            "ln3": np.ones((d,), np.float32),
         }
 
     return {
@@ -515,14 +519,14 @@ def init_params(
             "rel_bias": normal(
                 (cfg.relative_attention_num_buckets, h), (d * dk) ** -0.5
             ),
-            "final_ln": jnp.ones((d,), jnp.float32),
+            "final_ln": np.ones((d,), np.float32),
         },
         "decoder": {
             "layers": [dec_layer() for _ in range(cfg.num_decoder_layers)],
             "rel_bias": normal(
                 (cfg.relative_attention_num_buckets, h), (d * dk) ** -0.5
             ),
-            "final_ln": jnp.ones((d,), jnp.float32),
+            "final_ln": np.ones((d,), np.float32),
         },
         "lm_head": normal((d, cfg.vocab_size), d ** -0.5),
         # genre/difficulty embeddings prepended to the mel frames

@@ -100,12 +100,28 @@ def save_params(
 def restore_params(
     ckpt_dir: Union[str, Path]
 ) -> Tuple[object, Optional[ConfigNode]]:
-    """Restore an inference params export (no template: orbax infers)."""
+    """Restore params for inference from either layout:
+      * a save_params export (ckpt_dir/params), or
+      * a training checkpoint dir (ckpt_dir[/step_N]/state), taking the
+        latest step — params are element 0 of the saved TrainState tuple.
+    """
     ckpt_dir = Path(ckpt_dir).resolve()
     ckptr = ocp.StandardCheckpointer()
-    params = ckptr.restore(ckpt_dir / "params")
+    if (ckpt_dir / "params").exists():
+        params = ckptr.restore(ckpt_dir / "params")
+        cfg_file = ckpt_dir / "config.json"
+    else:
+        path = ckpt_dir
+        if not (path / "state").exists():
+            latest = latest_checkpoint(path)
+            if latest is None:
+                raise FileNotFoundError(f"no checkpoint under {path}")
+            path = latest
+        state = ckptr.restore(path / "state")
+        # NamedTuple fields serialize by name
+        params = state["params"]
+        cfg_file = path / "config.json"
     cfg = None
-    cfg_file = ckpt_dir / "config.json"
     if cfg_file.exists():
         cfg = ConfigNode(json.loads(cfg_file.read_text()))
     return params, cfg

@@ -1,0 +1,160 @@
+"""End-to-end CLI tests: synthetic dataset -> train.py -> evaluate.py."""
+
+import sys
+
+import numpy as np
+import pytest
+import yaml
+
+from music2midi_tpu.audio import write_wav
+from music2midi_tpu.config import default_config, save_config
+
+
+@pytest.fixture(scope="module")
+def mini_dataset(tmp_path_factory):
+    """Build a tiny data_dir matching the reference layout (SURVEY.md §3.5):
+    audio/{id}.wav, midi_numpy/{id}.npy, metadata/{id}.yaml,
+    dataset_split.npz."""
+    root = tmp_path_factory.mktemp("data")
+    (root / "audio").mkdir()
+    (root / "midi_numpy").mkdir()
+    (root / "metadata").mkdir()
+    rng = np.random.default_rng(0)
+    genres = ["pop", "rock", "classical"]
+    diffs = ["beginner", "intermediate", "advanced"]
+    ids = []
+    for k in range(6):
+        pid = f"song{k}"
+        ids.append(pid)
+        sr = 22050
+        dur = 9.5
+        t = np.arange(int(dur * sr)) / sr
+        wave = (0.3 * np.sin(2 * np.pi * (220 + 30 * k) * t)).astype(
+            np.float32
+        )
+        write_wav(root / "audio" / f"{pid}.wav", wave, sr)
+        n = 12
+        onsets = np.sort(rng.uniform(0, dur - 1, n))
+        notes = np.stack(
+            [
+                onsets,
+                onsets + rng.uniform(0.1, 0.8, n),
+                rng.integers(40, 90, n).astype(float),
+                np.full(n, 80.0),
+            ],
+            axis=1,
+        )
+        np.save(root / "midi_numpy" / f"{pid}.npy", notes)
+        meta = {
+            "piano": {
+                "id": pid,
+                "genre": genres[k % 3],
+                "difficulty": diffs[k % 3],
+                "num_tracks": 2,
+            }
+        }
+        (root / "metadata" / f"{pid}.yaml").write_text(yaml.safe_dump(meta))
+    np.savez(
+        root / "dataset_split.npz",
+        train_id=np.array(ids[:4]),
+        val_id=np.array(ids[4:5]),
+        test_id=np.array(ids[5:]),
+    )
+    # small-run config
+    cfg = default_config()
+    cfg.dataloader.batch_size = 2
+    cfg.dataloader.num_workers = 0
+    cfg.trainer.max_epochs = 1
+    cfg.trainer.log_every_n_steps = 1
+    cfg.model.t5.num_layers = 2
+    cfg.model.t5.num_decoder_layers = 2
+    cfg_path = root / "config.yaml"
+    save_config(cfg, cfg_path)
+    return root, cfg_path
+
+
+def test_dataset_and_loader(mini_dataset):
+    from music2midi_tpu.data import DataLoader, Music2MIDIDataset
+
+    root, cfg_path = mini_dataset
+    split = np.load(root / "dataset_split.npz", allow_pickle=True)
+    ds = Music2MIDIDataset(root, split["train_id"], str(cfg_path))
+    w, notes, cond = ds.__getitem__(0, np.random.default_rng(0))
+    assert w.shape == (3 * 22050,)
+    assert 0 < len(notes)
+    assert len(cond) == 2
+    loader = DataLoader(ds, batch_size=2, num_workers=0, seed=0)
+    batches = list(loader)
+    assert len(batches) == 2
+    b = batches[0]
+    assert b.waveform.shape == (2, 66150)
+    assert b.labels.min() >= -100
+    assert b.cond_index.shape == (2, 2)
+
+
+def test_dataset_multiprocess_loader(mini_dataset):
+    from music2midi_tpu.data import DataLoader, Music2MIDIDataset
+
+    root, cfg_path = mini_dataset
+    split = np.load(root / "dataset_split.npz", allow_pickle=True)
+    ds = Music2MIDIDataset(root, split["train_id"], str(cfg_path))
+    loader = DataLoader(ds, batch_size=2, num_workers=2, seed=1)
+    batches = list(loader)
+    assert len(batches) == 2
+
+
+def test_train_cli(mini_dataset, tmp_path, monkeypatch):
+    root, cfg_path = mini_dataset
+    monkeypatch.setattr(
+        sys, "argv",
+        ["train.py", str(root), "--config", str(cfg_path), "--name", "t",
+         "--out_dir", str(tmp_path / "runs"), "--max_steps", "2",
+         "--eval_in_train"],
+    )
+    sys.path.insert(0, "/root/repo")
+    import train as train_cli
+
+    train_cli.main()
+    ckpts = list((tmp_path / "runs" / "t" / "ckpt").glob("step_*"))
+    assert ckpts, "checkpoint written"
+    log = (tmp_path / "runs" / "t" / "log.jsonl").read_text()
+    assert "train/loss" in log and "train/score" in log
+
+
+def test_train_resume(mini_dataset, tmp_path, monkeypatch):
+    root, cfg_path = mini_dataset
+    out = tmp_path / "runs2"
+    argv = ["train.py", str(root), "--config", str(cfg_path), "--name", "r",
+            "--out_dir", str(out), "--max_steps", "1"]
+    monkeypatch.setattr(sys, "argv", argv)
+    import train as train_cli
+
+    train_cli.main()
+    ckpt_dir = out / "r" / "ckpt"
+    monkeypatch.setattr(
+        sys, "argv", argv[:-1] + ["2", "--ckpt", str(ckpt_dir)]
+    )
+    train_cli.main()  # resumes from step 1, runs to step 2
+    steps = sorted(p.name for p in ckpt_dir.glob("step_*"))
+    assert steps[-1] == "step_00000002"
+
+
+def test_evaluate_cli(mini_dataset, tmp_path, monkeypatch):
+    root, cfg_path = mini_dataset
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr(
+        sys, "argv",
+        ["evaluate.py", str(root), "--config", str(cfg_path), "--name",
+         "testrun"],
+    )
+    import evaluate as eval_cli
+
+    eval_cli.main()
+    import pandas as pd
+
+    df = pd.read_csv(tmp_path / "score-testrun.csv")
+    assert list(df.columns) == [
+        "piano_id", "model", "genre", "difficulty", "score"
+    ]
+    assert len(df) == 1
+    assert 0.0 <= df["score"].iloc[0] <= 1.0

