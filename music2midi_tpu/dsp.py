@@ -94,11 +94,22 @@ def time_stretch(y: np.ndarray, rate: float, n_fft: int = 2048,
 
 
 def pitch_shift(
-    y: np.ndarray, sr: int, n_steps: float
+    y: np.ndarray, sr: int, n_steps: float, prefer_native: bool = True
 ) -> np.ndarray:
-    """Shift pitch by n_steps semitones, preserving duration and length."""
+    """Shift pitch by n_steps semitones, preserving duration and length.
+
+    Dispatches to the C++ implementation (native/m2m_dsp.cpp) when built —
+    same algorithm, parity-tested — falling back to this numpy path."""
     if n_steps == 0:
         return np.asarray(y, dtype=np.float32)
+    if prefer_native:
+        try:
+            from . import native
+
+            if native.available():
+                return native.pitch_shift(y, sr, n_steps)
+        except Exception:
+            pass
     rate = 2.0 ** (-float(n_steps) / 12.0)
     stretched = time_stretch(np.asarray(y, dtype=np.float64), rate)
     # resample by `rate` back to the original duration
