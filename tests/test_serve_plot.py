@@ -1,0 +1,150 @@
+"""Web UI (stdlib server) + plotting tests."""
+
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from music2midi_tpu.utils import numpy_to_midi
+
+
+def test_plot_midi_sequence(tmp_path):
+    midi = numpy_to_midi(
+        np.array([[0.0, 0.5, 60, 80], [0.5, 1.0, 64, 90]])
+    )
+    from music2midi_tpu.plot_midi import plot_midi_sequence
+
+    out = tmp_path / "roll.png"
+    plot_midi_sequence(midi, path=out)
+    assert out.stat().st_size > 1000
+
+
+def test_plot_midi_evaluation(tmp_path):
+    from music2midi_tpu.plot_midi import plot_midi_evaluation
+
+    a = numpy_to_midi(np.array([[0.0, 1.0, 60, 80], [1.0, 2.0, 64, 80]]))
+    b = numpy_to_midi(np.array([[0.0, 1.0, 60, 80], [1.0, 2.0, 67, 80]]))
+    out = tmp_path / "eval.png"
+    plot_midi_evaluation(a, b, path=out, melody_only=True)
+    assert out.stat().st_size > 1000
+
+
+def test_extract_melody():
+    from music2midi_tpu.plot_midi import extract_melody_from_piano_roll
+
+    roll = np.zeros((128, 4))
+    roll[60, 0] = 80
+    roll[64, 0] = 70
+    roll[50, 2] = 90
+    out = extract_melody_from_piano_roll(roll)
+    assert out[64, 0] == 70 and out[60, 0] == 0
+    assert out[50, 2] == 90
+
+
+def test_piano_roll_to_notes():
+    from music2midi_tpu.plot_midi import piano_roll_to_notes
+
+    roll = np.zeros((128, 300))
+    roll[60, 0:50] = 80
+    roll[64, 100:200] = 90
+    notes = piano_roll_to_notes(roll, fs=100)
+    np.testing.assert_allclose(
+        notes, [[0.0, 0.5, 60, 80], [1.0, 2.0, 64, 90]]
+    )
+
+
+@pytest.fixture(scope="module")
+def webui_server(tmp_path_factory):
+    """Spin up the real HTTP server with a random-weights engine."""
+    import os
+
+    import webui
+    from http.server import ThreadingHTTPServer
+    from music2midi_tpu.infer import Music2MIDI
+
+    webui.engine = Music2MIDI.from_random(seed=0, decode_max_length=16)
+    cwd = tmp_path_factory.mktemp("webui")
+    (cwd / "static" / "uploads").mkdir(parents=True)
+    old = os.getcwd()
+    os.chdir(cwd)
+    from pathlib import Path
+
+    webui.UPLOAD_DIR = Path("static/uploads")  # cwd-relative: URLs map 1:1
+    server = ThreadingHTTPServer(("127.0.0.1", 0), webui.Handler)
+    port = server.server_address[1]
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{port}"
+    server.shutdown()
+    os.chdir(old)
+
+
+def test_webui_index(webui_server):
+    with urllib.request.urlopen(webui_server + "/") as r:
+        body = r.read().decode()
+    assert "Music2MIDI" in body and "form" in body
+
+
+def test_webui_generate_wav_upload(webui_server):
+    from music2midi_tpu.audio import write_wav
+    import io
+
+    buf = io.BytesIO()
+    sr = 16000
+    t = np.arange(2 * sr) / sr
+    wave = (0.4 * np.sin(2 * np.pi * 330 * t)).astype(np.float32)
+    import tempfile, os
+
+    with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as f:
+        write_wav(f.name, wave, sr)
+        payload = open(f.name, "rb").read()
+    os.unlink(f.name)
+
+    boundary = "bndry123"
+    body = (
+        f"--{boundary}\r\n"
+        'Content-Disposition: form-data; name="url"\r\n\r\n\r\n'
+        f"--{boundary}\r\n"
+        'Content-Disposition: form-data; name="file"; '
+        'filename="test.wav"\r\n'
+        "Content-Type: audio/wav\r\n\r\n"
+    ).encode() + payload + f"\r\n--{boundary}--\r\n".encode()
+    req = urllib.request.Request(
+        webui_server + "/generate",
+        data=body,
+        headers={
+            "Content-Type": f"multipart/form-data; boundary={boundary}"
+        },
+    )
+    with urllib.request.urlopen(req) as r:
+        html = r.read().decode()
+    assert "piano cover" in html
+    assert "output.wav" in html
+    # the generated preview is fetchable
+    import re
+
+    m = re.search(r'src="([^"]*output\.wav)"', html)
+    assert m
+    with urllib.request.urlopen(webui_server + m.group(1)) as r:
+        wav = r.read()
+    assert wav[:4] == b"RIFF"
+
+
+def test_webui_generate_empty_form(webui_server):
+    boundary = "bndry123"
+    body = (
+        f"--{boundary}\r\n"
+        'Content-Disposition: form-data; name="url"\r\n\r\n\r\n'
+        f"--{boundary}--\r\n"
+    ).encode()
+    req = urllib.request.Request(
+        webui_server + "/generate",
+        data=body,
+        headers={
+            "Content-Type": f"multipart/form-data; boundary={boundary}"
+        },
+    )
+    with urllib.request.urlopen(req) as r:
+        html = r.read().decode()
+    assert "Please provide a URL or upload a file." in html

@@ -1,0 +1,195 @@
+"""Web UI — `python webui.py --ckpt CKPT [--config --port]`.
+
+Stdlib-http replacement for the reference's Flask server (reference
+webui.py:1-93, port 5736): GET / serves the submission form; POST /generate
+accepts a YouTube URL or an uploaded audio/video file, runs the song->MIDI
+pipeline, synthesizes a piano preview, and renders a dual-player result
+page with a crossfade slider.  Results are cached per video id / filename
+(reference webui.py:30-45); a failed generation wipes its result dir.
+
+External tools degrade gracefully: without yt-dlp/ffmpeg only direct WAV
+uploads work (clearly reported to the user); the preview synth is built in.
+"""
+
+from __future__ import annotations
+
+import argparse
+import html
+import io
+import shutil
+import sys
+from email.parser import BytesParser
+from email.policy import HTTP
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+from urllib.parse import parse_qs, urlparse
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+UPLOAD_DIR = Path("static/uploads")
+TEMPLATE_DIR = Path(__file__).resolve().parent / "templates"
+STATIC_DIR = Path(__file__).resolve().parent / "static"
+
+engine = None  # set in main()
+
+
+def render(template: str, **ctx) -> bytes:
+    text = (TEMPLATE_DIR / template).read_text()
+    for key, value in ctx.items():
+        text = text.replace("{{" + key + "}}", str(value))
+    return text.encode()
+
+
+def parse_multipart(headers, body: bytes):
+    """-> (fields: dict, files: dict name -> (filename, bytes))."""
+    msg = BytesParser(policy=HTTP).parsebytes(
+        b"Content-Type: " + headers.get("Content-Type", "").encode()
+        + b"\r\n\r\n" + body
+    )
+    fields, files = {}, {}
+    for part in msg.iter_parts():
+        name = part.get_param("name", header="content-disposition")
+        filename = part.get_filename()
+        payload = part.get_payload(decode=True) or b""
+        if filename:
+            files[name] = (filename, payload)
+        else:
+            fields[name] = payload.decode(errors="replace").strip()
+    return fields, files
+
+
+def generate_result(url: str, upload):
+    """-> (result_dir, video_path, audio_path, display_video)."""
+    from music2midi_tpu.serve.webui_utils import (
+        ToolMissingError,
+        download_video,
+        post_process,
+        ffmpeg_available,
+        render_preview,
+        video_stream_present,
+    )
+
+    if upload is not None:
+        filename, payload = upload
+        result_dir = UPLOAD_DIR / "local" / filename
+        input_name = filename
+    else:
+        parsed = urlparse(url)
+        try:
+            song_id = parse_qs(parsed.query)["v"][0]
+        except KeyError:
+            song_id = url.rstrip("/").split("/")[-1] or "song"
+        result_dir = UPLOAD_DIR / "youtube" / song_id
+        input_name = "input.mp4"
+
+    result_dir.mkdir(parents=True, exist_ok=True)
+    video_path = result_dir / input_name
+    audio_path = result_dir / "output.wav"
+    midi_path = result_dir / "output.mid"
+    if audio_path.exists() and video_path.exists():
+        print("Using existing result at", result_dir)
+        return (result_dir, video_path, audio_path,
+                video_stream_present(video_path))
+    try:
+        if upload is not None:
+            video_path.write_bytes(upload[1])
+        else:
+            print("Downloading video from", url)
+            download_video(url, video_path)
+        print("Generating result")
+        midi_data = engine.generate(audio_path=video_path)
+        midi_data.write(midi_path)
+        print("MIDI written to", midi_path)
+        render_preview(midi_data, audio_path)
+        if ffmpeg_available() and video_stream_present(video_path):
+            print("Post-processing A/V sync")
+            post_process(video_path, audio_path)
+        return (result_dir, video_path, audio_path,
+                video_stream_present(video_path))
+    except Exception:
+        shutil.rmtree(result_dir, ignore_errors=True)
+        raise
+
+
+class Handler(BaseHTTPRequestHandler):
+    def _send(self, body: bytes, status=200, ctype="text/html"):
+        self.send_response(status)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):
+        path = self.path.split("?")[0]
+        if path == "/":
+            self._send(render("index.html", error=""))
+            return
+        # static files + generated results
+        rel = path.lstrip("/")
+        for base in (Path("."), STATIC_DIR.parent):
+            f = (base / rel).resolve()
+            if f.is_file():
+                ctype = {
+                    ".css": "text/css", ".js": "text/javascript",
+                    ".wav": "audio/wav", ".mp4": "video/mp4",
+                    ".mid": "audio/midi", ".mp3": "audio/mpeg",
+                }.get(f.suffix, "application/octet-stream")
+                self._send(f.read_bytes(), ctype=ctype)
+                return
+        self._send(b"not found", status=404, ctype="text/plain")
+
+    def do_POST(self):
+        if self.path != "/generate":
+            self._send(b"not found", status=404, ctype="text/plain")
+            return
+        length = int(self.headers.get("Content-Length", 0))
+        body = self.rfile.read(length)
+        fields, files = parse_multipart(self.headers, body)
+        url = fields.get("url", "")
+        upload = files.get("file")
+        if upload and not upload[0]:
+            upload = None
+        if not url and upload is None:
+            self._send(render(
+                "index.html",
+                error="Please provide a URL or upload a file.",
+            ))
+            return
+        try:
+            result_dir, video_path, audio_path, display_video = (
+                generate_result(url, upload)
+            )
+        except Exception as e:  # surface tool gaps / decode errors
+            self._send(render("index.html", error=html.escape(str(e))))
+            return
+        self._send(render(
+            "result.html",
+            video_path="/" + str(video_path),
+            audio_path="/" + str(audio_path),
+            display_video="block" if display_video else "none",
+        ))
+
+    def log_message(self, fmt, *args):
+        print("[webui]", fmt % args)
+
+
+def main():
+    global engine
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--ckpt", type=str, default=None,
+                        help="model checkpoint (orbax dir or torch .ckpt)")
+    parser.add_argument("--config", type=str, default="config.yaml")
+    parser.add_argument("--port", type=int, default=5736)
+    args = parser.parse_args()
+
+    from evaluate import load_engine
+
+    engine = load_engine(args.ckpt, args.config)
+    print("Model loaded successfully")
+    server = ThreadingHTTPServer(("0.0.0.0", args.port), Handler)
+    print(f"Serving on http://localhost:{args.port}")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()
