@@ -15,15 +15,19 @@ import pandas as pd
 import yaml
 
 
-def load_engine(ckpt: str, config_path: str):
+def load_engine(ckpt: str, config_path: str, dtype: str = "float32"):
+    """dtype: float32 (bit-parity mode) | bfloat16 (TPU serving mode)."""
+    import jax.numpy as jnp
+
     from music2midi_tpu.infer import Music2MIDI
 
+    jdtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[dtype]
     if ckpt is None:
-        return Music2MIDI.from_random(config=config_path)
+        return Music2MIDI.from_random(config=config_path, dtype=jdtype)
     p = Path(ckpt)
     if p.suffix == ".ckpt" or p.suffix == ".pt":
-        return Music2MIDI.from_torch_checkpoint(p, config_path)
-    return Music2MIDI.from_orbax(p, config_path)
+        return Music2MIDI.from_torch_checkpoint(p, config_path, dtype=jdtype)
+    return Music2MIDI.from_orbax(p, config_path, dtype=jdtype)
 
 
 def main():
@@ -32,6 +36,8 @@ def main():
     parser.add_argument("--ckpt", type=str, default=None)
     parser.add_argument("--config", type=str, default="config.yaml")
     parser.add_argument("--name", type=str, default="music2midi")
+    parser.add_argument("--dtype", type=str, default="float32",
+                        choices=["float32", "bfloat16"])
     args = parser.parse_args()
 
     from music2midi_tpu.config import load_config
@@ -42,7 +48,7 @@ def main():
     split = np.load(data_dir / "dataset_split.npz", allow_pickle=True)
     test_ids = split["test_id"]
     config = load_config(args.config)
-    engine = load_engine(args.ckpt, args.config)
+    engine = load_engine(args.ckpt, args.config, args.dtype)
 
     logs = []
     for i, piano_id in enumerate(test_ids):

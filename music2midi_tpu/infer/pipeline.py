@@ -232,6 +232,91 @@ class Music2MIDI:
             )
             yield start, tokens[:n]
 
+    def generate_batch(
+        self,
+        waveforms: Sequence[np.ndarray],
+        cond_indices: Optional[Sequence[Optional[Sequence[int]]]] = None,
+    ) -> List[MidiFile]:
+        """Throughput serving API: many songs -> many MidiFiles in ONE
+        chunk stream.
+
+        All songs' 3-s chunks are concatenated into full device batches
+        (a 3-min song alone fills only half a 128-wide batch), and every
+        batch is dispatched before any result is collected, so device
+        compute overlaps host detokenize-trim and per-dispatch latency
+        amortizes across songs — the "multiple songs in flight per chip"
+        plan from SURVEY.md §7."""
+        split_duration = float(self.config.dataset.segment_duration)
+        split_size = int(self.config.model.sample_rate * split_duration)
+        n_steps = round(split_duration / self.tokenizer.time_step)
+        if cond_indices is None:
+            cond_indices = [None] * len(waveforms)
+
+        # chunk all songs into one stream
+        all_chunks: List[np.ndarray] = []
+        all_cond: List[np.ndarray] = []
+        song_spans: List[tuple] = []
+        chunk_local_idx: List[int] = []
+        for wave, cond in zip(waveforms, cond_indices):
+            wave = np.asarray(wave, dtype=np.float32)
+            n_chunks = max(1, -(-len(wave) // split_size))
+            padded = np.zeros(n_chunks * split_size, dtype=np.float32)
+            padded[: len(wave)] = wave
+            start = len(all_chunks)
+            all_chunks.extend(padded.reshape(n_chunks, split_size))
+            c = (np.zeros(self.num_conditioning, np.int32) if cond is None
+                 else np.asarray(cond, np.int32))
+            all_cond.extend([c] * n_chunks)
+            chunk_local_idx.extend(range(n_chunks))
+            song_spans.append((start, start + n_chunks))
+
+        chunks = np.stack(all_chunks)
+        conds = np.stack(all_cond)
+        local_idx = np.asarray(chunk_local_idx, np.int32)
+
+        # dispatch every batch before collecting any (JAX async dispatch)
+        max_bs = int(self.config.inference.batch_size)
+        dcfg = DecodeConfig(max_length=self.decode_max_length)
+        pending = []
+        for s in range(0, len(chunks), max_bs):
+            batch = chunks[s:s + max_bs]
+            cond_b = conds[s:s + max_bs]
+            n = len(batch)
+            b = _bucket(n, max_bs)
+            if n < b:
+                batch = np.concatenate(
+                    [batch, np.zeros((b - n, batch.shape[1]), np.float32)]
+                )
+                cond_b = np.concatenate(
+                    [cond_b, np.zeros((b - n, cond_b.shape[1]), np.int32)]
+                )
+            start_idx = np.zeros(b, np.int32)
+            start_idx[:n] = local_idx[s:s + n] * n_steps
+            notes, valid = _encode_generate_detokenize(
+                self.params, jnp.asarray(batch), jnp.asarray(cond_b),
+                jnp.asarray(start_idx),
+                t5_cfg=self.t5_config, mel_cfg=self.mel_config, dcfg=dcfg,
+            )
+            pending.append((n, notes, valid))
+
+        # collect + trim on host while the device keeps working
+        per_chunk: List[np.ndarray] = []
+        for n, notes, valid in pending:
+            notes_h = np.asarray(jax.device_get(notes)).astype(np.float64)
+            valid_h = np.asarray(jax.device_get(valid))
+            for i in range(n):
+                row = notes_h[i][valid_h[i]]
+                row[:, :2] *= self.tokenizer.time_step
+                per_chunk.append(row)
+
+        out = []
+        for start, end in song_spans:
+            parts = per_chunk[start:end]
+            notes = (np.concatenate(parts) if parts
+                     else np.zeros((0, 4)))
+            out.append(numpy_to_midi(notes))
+        return out
+
     def sample_tokens_batched(
         self,
         chunks: np.ndarray,  # (N, split_size)
@@ -263,3 +348,25 @@ def _encode_and_generate(
     embeds = conditioning_prepend(params, mel, cond_index)
     enc = encode(params, embeds, t5_cfg)
     return generate_tokens(params, enc, t5_cfg, dcfg)
+
+
+@functools.partial(jax.jit, static_argnames=("t5_cfg", "mel_cfg", "dcfg"))
+def _encode_generate_detokenize(
+    params,
+    wave_chunks: jax.Array,  # (B, split_size)
+    cond_index: jax.Array,  # (B, n_cond)
+    start_idx: jax.Array,  # (B,) per-chunk time offset in steps
+    t5_cfg: T5Config,
+    mel_cfg: LogMelConfig,
+    dcfg: DecodeConfig,
+):
+    """audio chunks -> (notes, valid) in ONE dispatch: mel, encoder,
+    decode, and the on-device detokenizer fused into a single program —
+    one host round trip per batch (the relay latency per dispatch is the
+    dominant serving cost on this stack)."""
+    from ..ops.detokenize import detokenize
+
+    tokens, _ = _encode_and_generate(
+        params, wave_chunks, cond_index, t5_cfg, mel_cfg, dcfg
+    )
+    return detokenize(tokens, start_idx)

@@ -163,3 +163,21 @@ def test_device_vs_host_detokenize_equivalence():
     a = dev_engine.sample_notes(wave)
     b = host_engine.sample_notes(wave)
     np.testing.assert_allclose(a, b, atol=1e-9)
+
+
+def test_generate_batch_matches_single(engine):
+    """generate_batch must produce the same notes as per-song generate."""
+    rng = np.random.default_rng(9)
+    songs = [
+        (rng.normal(size=int(4.5 * 16000)) * 0.2).astype(np.float32),
+        (rng.normal(size=int(7 * 16000)) * 0.2).astype(np.float32),
+    ]
+    conds = [[1, 1], None]
+    batch_midis = engine.generate_batch(songs, conds)
+    for song, cond, got in zip(songs, conds, batch_midis):
+        want = engine.generate(audio_y=song, sr=16000, cond_index=cond)
+        got_notes = [(n.start, n.end, n.pitch) for i in got.instruments
+                     for n in i.notes]
+        want_notes = [(n.start, n.end, n.pitch) for i in want.instruments
+                      for n in i.notes]
+        assert got_notes == want_notes

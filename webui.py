@@ -180,11 +180,13 @@ def main():
                         help="model checkpoint (orbax dir or torch .ckpt)")
     parser.add_argument("--config", type=str, default="config.yaml")
     parser.add_argument("--port", type=int, default=5736)
+    parser.add_argument("--dtype", type=str, default="bfloat16",
+                        choices=["float32", "bfloat16"])
     args = parser.parse_args()
 
     from evaluate import load_engine
 
-    engine = load_engine(args.ckpt, args.config)
+    engine = load_engine(args.ckpt, args.config, args.dtype)
     print("Model loaded successfully")
     server = ThreadingHTTPServer(("0.0.0.0", args.port), Handler)
     print(f"Serving on http://localhost:{args.port}")
