@@ -39,6 +39,11 @@ def parse_args():
     parser.add_argument("--out_dir", type=str, default="runs")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--max_steps", type=int, default=None)
+    parser.add_argument(
+        "--lr", type=float, default=None,
+        help="fixed Adafactor lr (default: HF relative-step warmup "
+             "schedule, the reference configuration)",
+    )
     parser.add_argument("--eval_in_train", action="store_true",
                         help="chroma score on train batches every "
                              "log_every_n_steps (reference behavior)")
@@ -129,7 +134,7 @@ def main():
     params = jax.device_put(params, param_shardings(mesh, params))
     bshard = batch_sharding(mesh)
 
-    optimizer = adafactor_hf()
+    optimizer = adafactor_hf(learning_rate=args.lr)
     accum = int(config.trainer.accumulate_grad_batches)
     if accum > 1:
         import optax
@@ -171,6 +176,9 @@ def main():
 
     log_every = int(config.trainer.log_every_n_steps)
     max_epochs = int(config.trainer.max_epochs)
+    steps_per_epoch = max(1, len(train_loader))
+    min_steps_between_saves = max(steps_per_epoch, log_every)
+    last_saved = int(state.step)
     t_start = time.time()
     try:
         for epoch in range(max_epochs):
@@ -198,17 +206,20 @@ def main():
                     log(rec)
                 if args.max_steps and step >= args.max_steps:
                     raise StopIteration
-            # validation + checkpoint each epoch (reference validates every
-            # epoch and checkpoints via Lightning)
-            val_losses = [
-                float(eval_fn(state.params, Batch(
-                    b.waveform, b.labels, b.cond_index)))
-                for b in val_loader
-            ]
-            if val_losses:
-                log({"step": int(state.step), "epoch": epoch,
-                     "val/loss": float(np.mean(val_losses))})
-            save_train_state(out_dir / "ckpt", state, config)
+            # validation + checkpoint at epoch ends (reference cadence),
+            # throttled so tiny datasets (one batch per epoch) don't spend
+            # the run inside orbax saves
+            if int(state.step) - last_saved >= min_steps_between_saves:
+                val_losses = [
+                    float(eval_fn(state.params, Batch(
+                        b.waveform, b.labels, b.cond_index)))
+                    for b in val_loader
+                ]
+                if val_losses:
+                    log({"step": int(state.step), "epoch": epoch,
+                         "val/loss": float(np.mean(val_losses))})
+                save_train_state(out_dir / "ckpt", state, config)
+                last_saved = int(state.step)
     except StopIteration:
         save_train_state(out_dir / "ckpt", state, config)
     log({"step": int(state.step), "done": True})
