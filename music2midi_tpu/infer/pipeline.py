@@ -45,6 +45,18 @@ from .decode import DecodeConfig, generate_tokens
 _BUCKET_SIZES = (8, 16, 32, 64, 128)
 
 
+def enable_compilation_cache(
+    cache_dir: str = "/tmp/m2m_jax_cache",
+) -> None:
+    """Persist compiled programs across processes — first-generate latency
+    drops from ~60-100 s (remote compile) to seconds on warm cache."""
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update(
+        "jax_persistent_cache_min_entry_size_bytes", 0
+    )
+
+
 def _bucket(n: int, cap: int) -> int:
     for b in _BUCKET_SIZES:
         if n <= b and b <= cap:
@@ -68,15 +80,31 @@ class Music2MIDI:
         dtype=jnp.float32,
         decode_max_length: int = 1024,
         device_detokenize: bool = True,
+        use_compilation_cache: bool = True,
+        mesh=None,
     ):
+        """mesh: optional jax.sharding.Mesh with ("dp", "tp") axes — chunk
+        batches shard over dp and attention-heads/FFN over tp, so one
+        generate_batch call scales across a slice (inference-side
+        counterpart of the training mesh; SURVEY.md §2.2)."""
+        if use_compilation_cache:
+            enable_compilation_cache()
         self.config = resolve_config(config)
         self.t5_config: T5Config = t5_config_from(self.config, dtype=dtype)
         self.mel_config: LogMelConfig = log_mel_config_from(self.config)
         self.tokenizer = MidiTokenizer(self.config)
+        self.mesh = mesh
+        self._batch_sharding = None
+        if mesh is not None:
+            from ..parallel.mesh import batch_sharding, param_shardings
+
+            params = jax.device_put(params, param_shardings(mesh, params))
+            self._batch_sharding = batch_sharding(mesh)
         self.params = params
         self.decode_max_length = decode_max_length
         self.device_detokenize = device_detokenize
         self.num_conditioning = len(self.config.conditioning)
+        self._dp = 1 if mesh is None else mesh.shape["dp"]
         self._generate_fn = functools.partial(
             _encode_and_generate,
             t5_cfg=self.t5_config,
@@ -133,6 +161,29 @@ class Music2MIDI:
 
         params, saved_cfg = restore_params(ckpt_dir)
         return cls(params, config if config is not None else saved_cfg, **kw)
+
+    def _encode_wave(self, batch: np.ndarray) -> np.ndarray:
+        """Waveform transport encoding: int16 in serving (bfloat16) mode —
+        lossless vs 16-bit source audio, halves the dominant host->device
+        upload; float32 in the bit-parity (float32) mode."""
+        if self.t5_config.dtype == jnp.bfloat16:
+            return np.clip(
+                np.round(batch * 32768.0), -32768, 32767
+            ).astype(np.int16)
+        return batch
+
+    def _put(self, x):
+        """Device placement honoring the inference mesh (batch over dp)."""
+        if self._batch_sharding is not None:
+            return jax.device_put(np.asarray(x), self._batch_sharding)
+        return jnp.asarray(x)
+
+    def _bucket(self, n: int) -> int:
+        b = _bucket(n, int(self.config.inference.batch_size))
+        # batches must divide evenly over dp
+        if b % self._dp:
+            b = -(-b // self._dp) * self._dp
+        return b
 
     # ------------------------------------------------------------------ #
     # inference                                                           #
@@ -218,7 +269,7 @@ class Music2MIDI:
         for start in range(0, len(chunks), max_bs):
             batch = chunks[start:start + max_bs]
             n = len(batch)
-            b = _bucket(n, max_bs)
+            b = self._bucket(n)
             if n < b:
                 batch = np.concatenate(
                     [batch, np.zeros((b - n, batch.shape[1]), np.float32)]
@@ -226,8 +277,8 @@ class Music2MIDI:
             cond_batch = np.broadcast_to(cond, (b, len(cond))).copy()
             tokens, _ = self._generate_fn(
                 self.params,
-                jnp.asarray(batch),
-                jnp.asarray(cond_batch),
+                self._put(self._encode_wave(batch)),
+                self._put(cond_batch),
                 dcfg=dcfg,
             )
             yield start, tokens[:n]
@@ -282,7 +333,7 @@ class Music2MIDI:
             batch = chunks[s:s + max_bs]
             cond_b = conds[s:s + max_bs]
             n = len(batch)
-            b = _bucket(n, max_bs)
+            b = self._bucket(n)
             if n < b:
                 batch = np.concatenate(
                     [batch, np.zeros((b - n, batch.shape[1]), np.float32)]
@@ -293,8 +344,9 @@ class Music2MIDI:
             start_idx = np.zeros(b, np.int32)
             start_idx[:n] = local_idx[s:s + n] * n_steps
             notes, valid = _encode_generate_detokenize(
-                self.params, jnp.asarray(batch), jnp.asarray(cond_b),
-                jnp.asarray(start_idx),
+                self.params, self._put(self._encode_wave(batch)),
+                self._put(cond_b),
+                self._put(start_idx),
                 t5_cfg=self.t5_config, mel_cfg=self.mel_config, dcfg=dcfg,
             )
             pending.append((n, notes, valid))
@@ -343,7 +395,13 @@ def _encode_and_generate(
     dcfg: DecodeConfig,
 ):
     """One TPU program: log-mel -> conditioning prepend -> encoder ->
-    greedy/sampling decode (reference call stack 3.1, fused on device)."""
+    greedy/sampling decode (reference call stack 3.1, fused on device).
+
+    wave_chunks may be int16 (x / 32768 semantics): host->device upload is
+    the serving bottleneck on tunneled TPUs (~22 MB/s measured), and audio
+    is 16-bit at源 anyway — int16 transport halves it losslessly."""
+    if jnp.issubdtype(wave_chunks.dtype, jnp.integer):
+        wave_chunks = wave_chunks.astype(jnp.float32) / 32768.0
     mel = log_mel_spectrogram(wave_chunks, mel_cfg)
     embeds = conditioning_prepend(params, mel, cond_index)
     enc = encode(params, embeds, t5_cfg)

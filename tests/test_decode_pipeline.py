@@ -181,3 +181,24 @@ def test_generate_batch_matches_single(engine):
         want_notes = [(n.start, n.end, n.pitch) for i in want.instruments
                       for n in i.notes]
         assert got_notes == want_notes
+
+
+def test_generate_batch_on_8dev_mesh(engine):
+    """Inference sharded over a (dp=4, tp=2) mesh matches single-device."""
+    import jax
+
+    from music2midi_tpu.parallel import make_mesh
+
+    assert len(jax.devices()) == 8
+    mesh = make_mesh(dp=4, tp=2)
+    sharded = Music2MIDI(
+        engine.params, decode_max_length=32, mesh=mesh,
+        use_compilation_cache=False,
+    )
+    rng = np.random.default_rng(11)
+    songs = [(rng.normal(size=9 * 16000) * 0.2).astype(np.float32)]
+    a = sharded.generate_batch(songs)[0]
+    b = engine.generate_batch(songs)[0]
+    got = [(n.start, n.end, n.pitch) for i in a.instruments for n in i.notes]
+    want = [(n.start, n.end, n.pitch) for i in b.instruments for n in i.notes]
+    assert got == want
