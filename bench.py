@@ -41,13 +41,11 @@ def main() -> None:
     engine = Music2MIDI.from_random(
         seed=0, decode_max_length=DECODE_TOKENS, dtype=jnp.bfloat16
     )
-    # disable EOS so random weights can't terminate early (honest decode
-    # length for an untrained model)
-    engine.params["lm_head"] = (
-        np.asarray(engine.params["lm_head"])
-        .astype(np.float32)
-    )
-    engine.params["lm_head"][:, engine.t5_config.eos_token_id] = -1e9
+    # suppress EOS inside the decode loop so every chunk decodes the full
+    # DECODE_TOKENS (an earlier -1e9 lm_head-column hack made EOS the
+    # argmax whenever sum(hidden) < 0 and let decode exit early, inflating
+    # the benchmark)
+    engine.suppress_tokens = (engine.t5_config.eos_token_id,)
     engine.params = jax.device_put(engine.params)
 
     sr = int(engine.config.model.sample_rate)

@@ -19,6 +19,11 @@ def load_engine(ckpt: str, config_path: str, dtype: str = "float32"):
     """dtype: float32 (bit-parity mode) | bfloat16 (TPU serving mode)."""
     import jax.numpy as jnp
 
+    if config_path is None:
+        config_path = (
+            "config.yaml" if Path("config.yaml").exists() else None
+        )
+
     from music2midi_tpu.infer import Music2MIDI
 
     jdtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[dtype]
@@ -34,7 +39,10 @@ def main():
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("data_dir", type=str)
     parser.add_argument("--ckpt", type=str, default=None)
-    parser.add_argument("--config", type=str, default="config.yaml")
+    parser.add_argument(
+        "--config", type=str, default=None,
+        help="config path (default: ./config.yaml if present, else the"
+             " packaged default)")
     parser.add_argument("--name", type=str, default="music2midi")
     parser.add_argument("--dtype", type=str, default="float32",
                         choices=["float32", "bfloat16"])

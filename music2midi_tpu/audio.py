@@ -28,6 +28,7 @@ def read_wav(path: Union[str, Path]) -> Tuple[np.ndarray, int]:
         raise ValueError(f"{path}: not a RIFF/WAVE file")
     pos = 12
     fmt = None
+    fmt_body = b""
     raw = None
     while pos + 8 <= len(data):
         chunk_id = data[pos:pos + 4]
@@ -35,14 +36,23 @@ def read_wav(path: Union[str, Path]) -> Tuple[np.ndarray, int]:
         body = data[pos + 8:pos + 8 + size]
         if chunk_id == b"fmt ":
             fmt = struct.unpack("<HHIIHH", body[:16])
+            fmt_body = body
         elif chunk_id == b"data":
             raw = body
         pos += 8 + size + (size & 1)
     if fmt is None or raw is None:
         raise ValueError(f"{path}: missing fmt/data chunk")
     audio_format, channels, sample_rate, _, _, bits = fmt
-    if audio_format == 0xFFFE and len(data) > 0:  # WAVE_FORMAT_EXTENSIBLE
-        audio_format = 1 if bits != 32 else 3
+    if audio_format == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE
+        # the real format code is the first 2 bytes of the SubFormat GUID
+        # in the fmt extension (offset 24 = 16 base + cbSize(2) +
+        # validbits(2) + channelmask(4))
+        if len(fmt_body) >= 26:
+            audio_format = struct.unpack("<H", fmt_body[24:26])[0]
+        else:
+            raise ValueError(
+                f"{path}: extensible WAV without a SubFormat GUID"
+            )
     if audio_format == 1:  # PCM
         if bits == 16:
             x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0

@@ -154,10 +154,20 @@ class Music2MIDIDataset:
         return waveform, notes_segment, self.cond_indices[index]
 
 
+_WORKER_DATASET = None  # set per worker process by _worker_init
+
+
+def _worker_init(dataset):
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
+
+
 def _worker_fetch(args):
-    dataset, index, seed = args
+    """Process-pool task: (index, seed) — the dataset itself is shipped
+    once per worker via the initializer, not re-pickled per job."""
+    index, seed = args
     rng = np.random.default_rng(seed)
-    return dataset.__getitem__(index, rng)
+    return _WORKER_DATASET.__getitem__(index, rng)
 
 
 class DataLoader:
@@ -208,31 +218,49 @@ class DataLoader:
     def __iter__(self) -> Iterator[Batch]:
         order = self._index_order()
         base_seed = (self.seed * 100003 + self.epoch) & 0x7FFFFFFF
-        jobs = [
-            (self.dataset, int(i), base_seed + k)
-            for k, i in enumerate(order)
-        ]
+        jobs = [(int(i), base_seed + k) for k, i in enumerate(order)]
         if self.num_workers > 0 and self.use_processes:
             import multiprocessing
 
-            saved = os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+            # scrub TPU env only while workers spawn, and restore EVERY
+            # mutated var afterwards (a prior version left
+            # JAX_PLATFORMS=cpu in the parent forever and kept
+            # PALLAS_AXON_POOL_IPS unset for the whole epoch, breaking
+            # lazy TPU init in the parent)
+            saved_pool = os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+            saved_platforms = os.environ.get("JAX_PLATFORMS")
             os.environ["JAX_PLATFORMS"] = "cpu"
             try:
                 ctx = multiprocessing.get_context("spawn")
                 with ProcessPoolExecutor(
-                    max_workers=self.num_workers, mp_context=ctx
+                    max_workers=self.num_workers,
+                    mp_context=ctx,
+                    initializer=_worker_init,
+                    initargs=(self.dataset,),
                 ) as pool:
                     results = pool.map(_worker_fetch, jobs, chunksize=4)
                     yield from self._collate_stream(results)
             finally:
-                if saved is not None:
-                    os.environ["PALLAS_AXON_POOL_IPS"] = saved
-        elif self.num_workers > 0:
-            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-                results = pool.map(_worker_fetch, jobs)
-                yield from self._collate_stream(results)
+                if saved_pool is not None:
+                    os.environ["PALLAS_AXON_POOL_IPS"] = saved_pool
+                if saved_platforms is None:
+                    os.environ.pop("JAX_PLATFORMS", None)
+                else:
+                    os.environ["JAX_PLATFORMS"] = saved_platforms
         else:
-            yield from self._collate_stream(map(_worker_fetch, jobs))
+            def fetch(job):
+                index, seed = job
+                return self.dataset.__getitem__(
+                    index, np.random.default_rng(seed)
+                )
+
+            if self.num_workers > 0:
+                with ThreadPoolExecutor(
+                    max_workers=self.num_workers
+                ) as pool:
+                    yield from self._collate_stream(pool.map(fetch, jobs))
+            else:
+                yield from self._collate_stream(map(fetch, jobs))
         self.epoch += 1
 
     def _collate_stream(self, results) -> Iterator[Batch]:

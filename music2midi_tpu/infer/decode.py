@@ -34,6 +34,7 @@ class DecodeConfig(NamedTuple):
     max_length: int = 1024  # total length including the start token
     temperature: float = 0.0  # 0 => greedy
     top_k: int = 0  # 0 => no top-k filtering
+    suppress_tokens: tuple = ()  # token ids masked to -inf before selection
 
 
 class _State(NamedTuple):
@@ -48,6 +49,8 @@ class _State(NamedTuple):
 def _select_next(
     logits: jax.Array, rng: jax.Array, dcfg: DecodeConfig
 ) -> Tuple[jax.Array, jax.Array]:
+    if dcfg.suppress_tokens:
+        logits = logits.at[:, list(dcfg.suppress_tokens)].set(-jnp.inf)
     if dcfg.temperature == 0.0:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32), rng
     scaled = logits.astype(jnp.float32) / dcfg.temperature

@@ -102,6 +102,8 @@ class Music2MIDI:
             self._batch_sharding = batch_sharding(mesh)
         self.params = params
         self.decode_max_length = decode_max_length
+        self.suppress_tokens: tuple = ()  # e.g. (eos,) for length-forced
+        # benchmarking; applied inside the decode loop
         self.device_detokenize = device_detokenize
         self.num_conditioning = len(self.config.conditioning)
         self._dp = 1 if mesh is None else mesh.shape["dp"]
@@ -189,6 +191,20 @@ class Music2MIDI:
     # inference                                                           #
     # ------------------------------------------------------------------ #
 
+    def _chunk_waveform(self, waveform: np.ndarray) -> np.ndarray:
+        """Zero-pad to a 3-s multiple and reshape to (n_chunks, split_size)
+        (reference model.py:85-90) — single source of truth for the
+        chunking semantics shared by sample_notes and generate_batch."""
+        split_size = int(
+            self.config.model.sample_rate
+            * float(self.config.dataset.segment_duration)
+        )
+        wave = np.asarray(waveform, dtype=np.float32)
+        n_chunks = max(1, -(-len(wave) // split_size))
+        padded = np.zeros(n_chunks * split_size, dtype=np.float32)
+        padded[: len(wave)] = wave
+        return padded.reshape(n_chunks, split_size)
+
     def generate(
         self,
         audio_path: Optional[Union[str, Path]] = None,
@@ -223,13 +239,7 @@ class Music2MIDI:
         host-tokenizer path remains as a cross-checked fallback
         (device_detokenize=False)."""
         split_duration = float(self.config.dataset.segment_duration)
-        split_size = int(
-            self.config.model.sample_rate * split_duration
-        )
-        n_chunks = max(1, -(-len(waveform) // split_size))
-        padded = np.zeros(n_chunks * split_size, dtype=np.float32)
-        padded[: len(waveform)] = waveform
-        chunks = padded.reshape(n_chunks, split_size)
+        chunks = self._chunk_waveform(waveform)
         n_steps = round(split_duration / self.tokenizer.time_step)
         if self.device_detokenize:
             from ..ops.detokenize import detokenize_to_host
@@ -265,7 +275,8 @@ class Music2MIDI:
             cond = np.zeros((self.num_conditioning,), dtype=np.int32)
         else:
             cond = np.asarray(cond_index, dtype=np.int32)
-        dcfg = DecodeConfig(max_length=self.decode_max_length)
+        dcfg = DecodeConfig(max_length=self.decode_max_length,
+                            suppress_tokens=self.suppress_tokens)
         for start in range(0, len(chunks), max_bs):
             batch = chunks[start:start + max_bs]
             n = len(batch)
@@ -298,7 +309,6 @@ class Music2MIDI:
         amortizes across songs — the "multiple songs in flight per chip"
         plan from SURVEY.md §7."""
         split_duration = float(self.config.dataset.segment_duration)
-        split_size = int(self.config.model.sample_rate * split_duration)
         n_steps = round(split_duration / self.tokenizer.time_step)
         if cond_indices is None:
             cond_indices = [None] * len(waveforms)
@@ -309,12 +319,10 @@ class Music2MIDI:
         song_spans: List[tuple] = []
         chunk_local_idx: List[int] = []
         for wave, cond in zip(waveforms, cond_indices):
-            wave = np.asarray(wave, dtype=np.float32)
-            n_chunks = max(1, -(-len(wave) // split_size))
-            padded = np.zeros(n_chunks * split_size, dtype=np.float32)
-            padded[: len(wave)] = wave
+            song_chunks = self._chunk_waveform(wave)
+            n_chunks = len(song_chunks)
             start = len(all_chunks)
-            all_chunks.extend(padded.reshape(n_chunks, split_size))
+            all_chunks.extend(song_chunks)
             c = (np.zeros(self.num_conditioning, np.int32) if cond is None
                  else np.asarray(cond, np.int32))
             all_cond.extend([c] * n_chunks)
@@ -327,7 +335,8 @@ class Music2MIDI:
 
         # dispatch every batch before collecting any (JAX async dispatch)
         max_bs = int(self.config.inference.batch_size)
-        dcfg = DecodeConfig(max_length=self.decode_max_length)
+        dcfg = DecodeConfig(max_length=self.decode_max_length,
+                            suppress_tokens=self.suppress_tokens)
         pending = []
         for s in range(0, len(chunks), max_bs):
             batch = chunks[s:s + max_bs]

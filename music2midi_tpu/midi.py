@@ -306,11 +306,11 @@ class MidiFile:
                     key = (channel, pitch)
                     if key not in open_notes:
                         continue
-                    keep = []
-                    for start_tick, velocity, program in open_notes[key]:
-                        if start_tick == tick:
-                            keep.append((start_tick, velocity, program))
-                            continue
+                    to_close = [
+                        n for n in open_notes[key] if n[0] != tick
+                    ]
+                    to_keep = [n for n in open_notes[key] if n[0] == tick]
+                    for start_tick, velocity, program in to_close:
                         inst = get_inst(track_i, channel, program, track_name)
                         inst.notes.append(
                             Note(
@@ -320,8 +320,11 @@ class MidiFile:
                                 velocity,
                             )
                         )
-                    if keep:
-                        open_notes[key] = keep
+                    # pretty_midi semantics: keep the same-tick opens
+                    # only when something was also closed; a bare
+                    # same-tick on/off pair produces NO note
+                    if to_close and to_keep:
+                        open_notes[key] = to_keep
                     else:
                         del open_notes[key]
                 elif kind == "pitch_bend":

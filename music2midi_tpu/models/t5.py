@@ -153,9 +153,12 @@ def attention(
     bias: Optional[jax.Array],  # (H, Q, K) or (B, H, Q, K) additive
     mask: Optional[jax.Array],  # (B, 1, Q, K) or broadcastable, 1=keep
     dtype,
+    dropout_rng: Optional[jax.Array] = None,
+    dropout_rate: float = 0.0,
 ) -> jax.Array:
     """T5 attention: scores = q @ k^T (NO 1/sqrt(d) scaling) + bias;
-    softmax in fp32."""
+    softmax in fp32.  HF T5 applies dropout to the softmaxed attention
+    weights during training — pass dropout_rng to enable."""
     scores = jnp.einsum(
         "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
     )
@@ -164,6 +167,11 @@ def attention(
     if mask is not None:
         scores = jnp.where(mask, scores, jnp.float32(-1e9))
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(dtype)
+    if dropout_rng is not None and dropout_rate > 0.0:
+        keep = jax.random.bernoulli(
+            dropout_rng, 1.0 - dropout_rate, probs.shape
+        )
+        probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0).astype(dtype)
     return jnp.einsum(
         "bhqk,bhkd->bhqd", probs, v, preferred_element_type=jnp.float32
     ).astype(dtype)
@@ -196,22 +204,29 @@ def self_attention_block(
     bias: Optional[jax.Array],
     mask: Optional[jax.Array],
     cfg: T5Config,
+    dropout_rng: Optional[jax.Array] = None,
 ) -> jax.Array:
     q = _split_heads(_proj(x, p["q"], cfg.dtype), cfg.num_heads, cfg.d_kv)
     k = _split_heads(_proj(x, p["k"], cfg.dtype), cfg.num_heads, cfg.d_kv)
     v = _split_heads(_proj(x, p["v"], cfg.dtype), cfg.num_heads, cfg.d_kv)
-    out = attention(q, k, v, bias, mask, cfg.dtype)
+    out = attention(q, k, v, bias, mask, cfg.dtype,
+                    dropout_rng=dropout_rng, dropout_rate=cfg.dropout_rate)
     return _proj(_merge_heads(out), p["o"], cfg.dtype)
 
 
 def mlp_block(p: Params, x: jax.Array, cfg: T5Config, rng=None,
               deterministic=True) -> jax.Array:
-    """Gated-GELU FFN: wo(dropout(gelu_new(wi_0 x) * (wi_1 x)))."""
+    """Gated-GELU FFN: wo(dropout(gelu_new(wi_0 x) * (wi_1 x))).
+
+    `rng`, when given in training, must be a FRESH key (callers split; an
+    earlier version reused the caller's key here AND for the following
+    residual dropout, correlating the masks)."""
     gate = gelu_new(_proj(x, p["wi_0"], cfg.dtype))
     lin = _proj(x, p["wi_1"], cfg.dtype)
     h = gate * lin
     if not deterministic and rng is not None:
-        h, _ = _maybe_dropout(h, cfg.dropout_rate, rng, deterministic=False)
+        keep = jax.random.bernoulli(rng, 1.0 - cfg.dropout_rate, h.shape)
+        h = jnp.where(keep, h / (1.0 - cfg.dropout_rate), 0).astype(h.dtype)
     return _proj(h, p["wo"], cfg.dtype)
 
 
@@ -239,13 +254,23 @@ def encode(
     )[None]  # (1, H, L, L)
     x = inputs_embeds.astype(cfg.dtype)
     x, rng = _maybe_dropout(x, cfg.dropout_rate, rng, deterministic)
+
+    def fresh(r):
+        if deterministic or r is None:
+            return r, None
+        r, sub = jax.random.split(r)
+        return r, sub
+
     for layer in enc["layers"]:
         h = rms_norm(x, layer["ln1"], cfg.layer_norm_epsilon)
-        h = self_attention_block(layer["self_attn"], h, bias, None, cfg)
+        rng, attn_key = fresh(rng)
+        h = self_attention_block(layer["self_attn"], h, bias, None, cfg,
+                                 dropout_rng=attn_key)
         h, rng = _maybe_dropout(h, cfg.dropout_rate, rng, deterministic)
         x = x + h
         h = rms_norm(x, layer["ln2"], cfg.layer_norm_epsilon)
-        h = mlp_block(layer["mlp"], h, cfg, rng, deterministic)
+        rng, mlp_key = fresh(rng)
+        h = mlp_block(layer["mlp"], h, cfg, mlp_key, deterministic)
         h, rng = _maybe_dropout(h, cfg.dropout_rate, rng, deterministic)
         x = x + h
     x = rms_norm(x, enc["final_ln"], cfg.layer_norm_epsilon)
@@ -281,9 +306,17 @@ def decoder_forward(
     causal = jnp.tril(jnp.ones((T, T), dtype=bool))[None, None]
     if decoder_attention_mask is not None:
         causal = causal & decoder_attention_mask[:, None, None, :].astype(bool)
+    def fresh(r):
+        if deterministic or r is None:
+            return r, None
+        r, sub = jax.random.split(r)
+        return r, sub
+
     for layer in dec["layers"]:
         h = rms_norm(x, layer["ln1"], cfg.layer_norm_epsilon)
-        h = self_attention_block(layer["self_attn"], h, bias, causal, cfg)
+        rng, attn_key = fresh(rng)
+        h = self_attention_block(layer["self_attn"], h, bias, causal, cfg,
+                                 dropout_rng=attn_key)
         h, rng = _maybe_dropout(h, cfg.dropout_rate, rng, deterministic)
         x = x + h
         # cross attention: no position bias, full encoder visibility
@@ -296,12 +329,19 @@ def decoder_forward(
         v = _split_heads(
             _proj(encoder_hidden, ca["v"], cfg.dtype), cfg.num_heads, cfg.d_kv
         )
-        h = _proj(_merge_heads(attention(q, k, v, None, None, cfg.dtype)),
-                  ca["o"], cfg.dtype)
+        rng, cross_key = fresh(rng)
+        h = _proj(
+            _merge_heads(attention(
+                q, k, v, None, None, cfg.dtype,
+                dropout_rng=cross_key, dropout_rate=cfg.dropout_rate,
+            )),
+            ca["o"], cfg.dtype,
+        )
         h, rng = _maybe_dropout(h, cfg.dropout_rate, rng, deterministic)
         x = x + h
         h = rms_norm(x, layer["ln3"], cfg.layer_norm_epsilon)
-        h = mlp_block(layer["mlp"], h, cfg, rng, deterministic)
+        rng, mlp_key = fresh(rng)
+        h = mlp_block(layer["mlp"], h, cfg, mlp_key, deterministic)
         h, rng = _maybe_dropout(h, cfg.dropout_rate, rng, deterministic)
         x = x + h
     x = rms_norm(x, dec["final_ln"], cfg.layer_norm_epsilon)

@@ -221,6 +221,10 @@ def main():
                 save_train_state(out_dir / "ckpt", state, config)
                 last_saved = int(state.step)
     except StopIteration:
+        pass
+    # final save: normal max_epochs completion must not drop the last
+    # (< min_steps_between_saves) steps
+    if int(state.step) > last_saved:
         save_train_state(out_dir / "ckpt", state, config)
     log({"step": int(state.step), "done": True})
 

@@ -40,6 +40,14 @@ def render(template: str, **ctx) -> bytes:
     return text.encode()
 
 
+def _sanitize_name(name: str) -> str:
+    """Keep only filename-safe characters; no separators, no dot-runs."""
+    import re
+
+    name = re.sub(r"[^A-Za-z0-9._-]", "_", name)
+    return name.replace("..", "_").strip("._")
+
+
 def parse_multipart(headers, body: bytes):
     """-> (fields: dict, files: dict name -> (filename, bytes))."""
     msg = BytesParser(policy=HTTP).parsebytes(
@@ -70,7 +78,10 @@ def generate_result(url: str, upload):
     )
 
     if upload is not None:
-        filename, payload = upload
+        # sanitize: strip any directory components and dangerous chars so an
+        # attacker-controlled filename cannot escape the upload dir (the
+        # failure path rmtree's result_dir — containment is load-bearing)
+        filename = _sanitize_name(Path(upload[0]).name) or "upload"
         result_dir = UPLOAD_DIR / "local" / filename
         input_name = filename
     else:
@@ -79,6 +90,7 @@ def generate_result(url: str, upload):
             song_id = parse_qs(parsed.query)["v"][0]
         except KeyError:
             song_id = url.rstrip("/").split("/")[-1] or "song"
+        song_id = _sanitize_name(song_id) or "song"
         result_dir = UPLOAD_DIR / "youtube" / song_id
         input_name = "input.mp4"
 
@@ -124,10 +136,19 @@ class Handler(BaseHTTPRequestHandler):
         if path == "/":
             self._send(render("index.html", error=""))
             return
-        # static files + generated results
+        # static files + generated results — containment-checked: only
+        # files under the serving roots are reachable (no path traversal)
         rel = path.lstrip("/")
+        allowed_roots = (
+            (Path.cwd() / "static").resolve(),
+            (STATIC_DIR.parent / "static").resolve(),
+        )
         for base in (Path("."), STATIC_DIR.parent):
             f = (base / rel).resolve()
+            if not any(
+                f.is_relative_to(root) for root in allowed_roots
+            ):
+                continue
             if f.is_file():
                 ctype = {
                     ".css": "text/css", ".js": "text/javascript",
@@ -178,7 +199,10 @@ def main():
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--ckpt", type=str, default=None,
                         help="model checkpoint (orbax dir or torch .ckpt)")
-    parser.add_argument("--config", type=str, default="config.yaml")
+    parser.add_argument(
+        "--config", type=str, default=None,
+        help="config path (default: ./config.yaml if present, else the"
+             " packaged default)")
     parser.add_argument("--port", type=int, default=5736)
     parser.add_argument("--dtype", type=str, default="bfloat16",
                         choices=["float32", "bfloat16"])
