@@ -104,6 +104,11 @@ class Music2MIDI:
         self.decode_max_length = decode_max_length
         self.suppress_tokens: tuple = ()  # e.g. (eos,) for length-forced
         # benchmarking; applied inside the decode loop
+        # sampling decode variants (BASELINE config 3): 0.0 => greedy
+        # (the parity mode); set temperature/top_k for stochastic covers
+        self.temperature: float = 0.0
+        self.top_k: int = 0
+        self.sample_seed: int = 0
         self.device_detokenize = device_detokenize
         self.num_conditioning = len(self.config.conditioning)
         self._dp = 1 if mesh is None else mesh.shape["dp"]
@@ -179,6 +184,30 @@ class Music2MIDI:
         if self._batch_sharding is not None:
             return jax.device_put(np.asarray(x), self._batch_sharding)
         return jnp.asarray(x)
+
+    def cond_index_from_names(self, **names) -> List[int]:
+        """Conditioning names -> indices, e.g.
+        cond_index_from_names(genre="pop", difficulty="beginner") -> [1, 0]
+        (categories from config.conditioning; reference evaluate.py:36-39
+        does this lookup inline)."""
+        out = []
+        for key in self.config.conditioning.keys():
+            values = list(self.config.conditioning[key])
+            name = names.get(key, values[0])
+            if name not in values:
+                raise ValueError(
+                    f"unknown {key} {name!r}; choices: {values}"
+                )
+            out.append(values.index(name))
+        return out
+
+    def _sample_rng(self, batch_start: int):
+        """Per-batch sampling key (None in greedy mode)."""
+        if self.temperature == 0.0:
+            return None
+        return jax.random.fold_in(
+            jax.random.PRNGKey(self.sample_seed), batch_start
+        )
 
     def _bucket(self, n: int) -> int:
         b = _bucket(n, int(self.config.inference.batch_size))
@@ -275,8 +304,12 @@ class Music2MIDI:
             cond = np.zeros((self.num_conditioning,), dtype=np.int32)
         else:
             cond = np.asarray(cond_index, dtype=np.int32)
-        dcfg = DecodeConfig(max_length=self.decode_max_length,
-                            suppress_tokens=self.suppress_tokens)
+        dcfg = DecodeConfig(
+            max_length=self.decode_max_length,
+            temperature=self.temperature,
+            top_k=self.top_k,
+            suppress_tokens=self.suppress_tokens,
+        )
         for start in range(0, len(chunks), max_bs):
             batch = chunks[start:start + max_bs]
             n = len(batch)
@@ -291,6 +324,7 @@ class Music2MIDI:
                 self._put(self._encode_wave(batch)),
                 self._put(cond_batch),
                 dcfg=dcfg,
+                rng=self._sample_rng(start),
             )
             yield start, tokens[:n]
 
@@ -335,8 +369,12 @@ class Music2MIDI:
 
         # dispatch every batch before collecting any (JAX async dispatch)
         max_bs = int(self.config.inference.batch_size)
-        dcfg = DecodeConfig(max_length=self.decode_max_length,
-                            suppress_tokens=self.suppress_tokens)
+        dcfg = DecodeConfig(
+            max_length=self.decode_max_length,
+            temperature=self.temperature,
+            top_k=self.top_k,
+            suppress_tokens=self.suppress_tokens,
+        )
         pending = []
         for s in range(0, len(chunks), max_bs):
             batch = chunks[s:s + max_bs]
@@ -357,6 +395,7 @@ class Music2MIDI:
                 self._put(cond_b),
                 self._put(start_idx),
                 t5_cfg=self.t5_config, mel_cfg=self.mel_config, dcfg=dcfg,
+                rng=self._sample_rng(s),
             )
             pending.append((n, notes, valid))
 
@@ -402,6 +441,7 @@ def _encode_and_generate(
     t5_cfg: T5Config,
     mel_cfg: LogMelConfig,
     dcfg: DecodeConfig,
+    rng: Optional[jax.Array] = None,
 ):
     """One TPU program: log-mel -> conditioning prepend -> encoder ->
     greedy/sampling decode (reference call stack 3.1, fused on device).
@@ -414,7 +454,7 @@ def _encode_and_generate(
     mel = log_mel_spectrogram(wave_chunks, mel_cfg)
     embeds = conditioning_prepend(params, mel, cond_index)
     enc = encode(params, embeds, t5_cfg)
-    return generate_tokens(params, enc, t5_cfg, dcfg)
+    return generate_tokens(params, enc, t5_cfg, dcfg, rng=rng)
 
 
 @functools.partial(jax.jit, static_argnames=("t5_cfg", "mel_cfg", "dcfg"))
@@ -426,6 +466,7 @@ def _encode_generate_detokenize(
     t5_cfg: T5Config,
     mel_cfg: LogMelConfig,
     dcfg: DecodeConfig,
+    rng: Optional[jax.Array] = None,
 ):
     """audio chunks -> (notes, valid) in ONE dispatch: mel, encoder,
     decode, and the on-device detokenizer fused into a single program —
@@ -434,6 +475,6 @@ def _encode_generate_detokenize(
     from ..ops.detokenize import detokenize
 
     tokens, _ = _encode_and_generate(
-        params, wave_chunks, cond_index, t5_cfg, mel_cfg, dcfg
+        params, wave_chunks, cond_index, t5_cfg, mel_cfg, dcfg, rng
     )
     return detokenize(tokens, start_idx)

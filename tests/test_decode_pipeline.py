@@ -202,3 +202,39 @@ def test_generate_batch_on_8dev_mesh(engine):
     got = [(n.start, n.end, n.pitch) for i in a.instruments for n in i.notes]
     want = [(n.start, n.end, n.pitch) for i in b.instruments for n in i.notes]
     assert got == want
+
+
+def test_engine_sampling_mode(engine):
+    """temperature/top_k on the engine produce valid, seed-reproducible
+    covers that differ from greedy (BASELINE config 3)."""
+    rng = np.random.default_rng(12)
+    wave = (rng.normal(size=4 * 16000) * 0.2).astype(np.float32)
+    greedy = engine.sample_tokens_batched(engine._chunk_waveform(wave))
+    engine.temperature = 1.0
+    engine.top_k = 20
+    try:
+        s1 = engine.sample_tokens_batched(engine._chunk_waveform(wave))
+        s2 = engine.sample_tokens_batched(engine._chunk_waveform(wave))
+        # same seed -> reproducible
+        for a, b in zip(s1, s2):
+            np.testing.assert_array_equal(a, b)
+        engine.sample_seed = 7
+        s3 = engine.sample_tokens_batched(engine._chunk_waveform(wave))
+        diff = any(
+            len(a) != len(b) or (a != b).any() for a, b in zip(s1, s3)
+        ) or any(
+            len(a) != len(b) or (a != b).any() for a, b in zip(s1, greedy)
+        )
+        assert diff
+    finally:
+        engine.temperature = 0.0
+        engine.top_k = 0
+        engine.sample_seed = 0
+
+
+def test_cond_index_from_names(engine):
+    assert engine.cond_index_from_names(genre="pop",
+                                        difficulty="beginner") == [1, 0]
+    assert engine.cond_index_from_names() == [0, 0]
+    with pytest.raises(ValueError):
+        engine.cond_index_from_names(genre="dubstep")
