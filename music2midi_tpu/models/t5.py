@@ -581,7 +581,7 @@ def conditioning_prepend(
     """Prepend one embedding per conditioning type: (B, L, d) + (B, n_cond)
     -> (B, n_cond + L, d) (reference input.py:50-59)."""
     embeds = [
-        table[cond_index[:, i]]
+        jnp.asarray(table)[cond_index[:, i]]
         for i, table in enumerate(params["conditioning"])
     ]
     stacked = jnp.stack(embeds, axis=1).astype(features.dtype)
