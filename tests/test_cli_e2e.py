@@ -158,3 +158,47 @@ def test_evaluate_cli(mini_dataset, tmp_path, monkeypatch):
     ]
     assert len(df) == 1
     assert 0.0 <= df["score"].iloc[0] <= 1.0
+
+
+def test_serve_batch_cli(tmp_path, monkeypatch):
+    from music2midi_tpu.audio import write_wav
+
+    songs = []
+    for k in range(2):
+        t = np.arange(4 * 16000) / 16000
+        w = (0.4 * np.sin(2 * np.pi * (300 + 100 * k) * t)).astype(
+            np.float32
+        )
+        p = tmp_path / f"s{k}.wav"
+        write_wav(p, w, 16000)
+        songs.append(str(p))
+    out = tmp_path / "covers"
+    monkeypatch.setattr(
+        sys, "argv",
+        ["serve_batch.py", str(out)] + songs
+        + ["--dtype", "float32", "--genre", "pop"],
+    )
+    import serve_batch
+
+    serve_batch.main()
+    assert (out / "s0.mid").exists() and (out / "s1.mid").exists()
+    from music2midi_tpu.midi import MidiFile
+
+    MidiFile(out / "s0.mid")  # parses
+
+
+def test_bf16_pipeline_smoke():
+    """bfloat16 serving mode on CPU: runs end to end, int16 transport."""
+    import jax.numpy as jnp
+
+    from music2midi_tpu.infer import Music2MIDI
+
+    e = Music2MIDI.from_random(seed=0, decode_max_length=16,
+                               dtype=jnp.bfloat16)
+    w = (np.random.default_rng(0).normal(size=48000) * 0.2).astype(
+        np.float32
+    )
+    enc = e._encode_wave(e._chunk_waveform(w))
+    assert enc.dtype == np.int16
+    midi = e.generate(audio_y=w, sr=16000)
+    assert midi is not None
