@@ -28,9 +28,6 @@ from typing import Tuple
 
 import numpy as np
 
-from ..dsp import stft
-
-
 # --------------------------------------------------------------------- #
 # features                                                               #
 # --------------------------------------------------------------------- #

@@ -21,12 +21,9 @@ from __future__ import annotations
 import struct
 from bisect import bisect_right
 from pathlib import Path
-from typing import List, Optional, Sequence, Tuple, Union
+from typing import List, Optional, Tuple, Union
 
 import numpy as np
-
-MAX_TICK = 1 << 30
-
 
 class Note:
     __slots__ = ("start", "end", "pitch", "velocity")

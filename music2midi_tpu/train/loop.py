@@ -13,8 +13,7 @@ reference config.yaml:41) composes via optax.MultiSteps.
 
 from __future__ import annotations
 
-import functools
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

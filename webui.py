@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import argparse
 import html
-import io
 import shutil
 import sys
 from email.parser import BytesParser
@@ -69,7 +68,6 @@ def parse_multipart(headers, body: bytes):
 def generate_result(url: str, upload):
     """-> (result_dir, video_path, audio_path, display_video)."""
     from music2midi_tpu.serve.webui_utils import (
-        ToolMissingError,
         download_video,
         post_process,
         ffmpeg_available,
