@@ -35,6 +35,13 @@ class DecodeConfig(NamedTuple):
     temperature: float = 0.0  # 0 => greedy
     top_k: int = 0  # 0 => no top-k filtering
     suppress_tokens: tuple = ()  # token ids masked to -inf before selection
+    quantize_cross_kv: bool = False  # int8 cross-KV storage.  MEASURED
+    # NEGATIVE on this stack (518 vs 382 ms per 255-step batch): XLA
+    # materializes the dequantized tensors instead of fusing the scale into
+    # the attention dot, paying the int8 read AND a bf16 round trip.  Kept
+    # as groundwork — a Pallas attention kernel that dequantizes in VMEM is
+    # the way to actually collect the 2x cross-KV bandwidth saving
+    # (round-2).  Token agreement vs bf16: ~97%.
     unroll: int = 1  # decode steps per while-loop iteration (early-exit
     # check runs every `unroll` steps).  Measured on v5e at B=128: decode
     # is ~1.7 ms/step and FLAT across unroll 1..16, i.e. HBM-bandwidth
@@ -97,7 +104,9 @@ def generate_tokens(
     buf_len = 1 + n_chunks_pad * unroll
     if rng is None:
         rng = jax.random.PRNGKey(0)
-    cross_kv = precompute_cross_kv(params, encoder_hidden, cfg)
+    cross_kv = precompute_cross_kv(
+        params, encoder_hidden, cfg, quantize=dcfg.quantize_cross_kv
+    )
 
     # phased cache growth: decode is self-KV-bandwidth bound (every step
     # reads the whole padded cache), and trained models typically finish in

@@ -403,10 +403,17 @@ def t5_forward(
 
 
 def precompute_cross_kv(
-    params: Params, encoder_hidden: jax.Array, cfg: T5Config
+    params: Params, encoder_hidden: jax.Array, cfg: T5Config,
+    quantize: bool = False,
 ) -> list:
     """Per-layer cross-attention K/V from encoder output, computed once per
-    generation (HF recomputes per step unless cached; here it is explicit)."""
+    generation (HF recomputes per step unless cached; here it is explicit).
+
+    quantize=True stores int8 values + per-position fp32 scales: the decode
+    loop re-reads the full cross-KV every step (2.3 MB/token, the measured
+    bandwidth floor), so halving its bytes attacks the floor directly.
+    Dequantization happens in the step and is fused into the attention
+    matmuls by XLA.  Serving-mode only (not bit-parity)."""
     out = []
     for layer in params["decoder"]["layers"]:
         ca = layer["cross_attn"]
@@ -416,8 +423,26 @@ def precompute_cross_kv(
         v = _split_heads(
             _proj(encoder_hidden, ca["v"], cfg.dtype), cfg.num_heads, cfg.d_kv
         )
-        out.append((k, v))
+        if quantize:
+            out.append((_quantize_kv(k), _quantize_kv(v)))
+        else:
+            out.append((k, v))
     return out
+
+
+def _quantize_kv(x: jax.Array):
+    """(B, H, L, D) -> (int8 values, fp32 per-(B,H,L) scales)."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
+    return q.astype(jnp.int8), scale
+
+
+def _dequantize_kv(entry, dtype) -> jax.Array:
+    if isinstance(entry, tuple):
+        q, scale = entry
+        return (q.astype(jnp.float32) * scale).astype(dtype)
+    return entry
 
 
 def init_kv_cache(
@@ -481,7 +506,8 @@ def decode_step(
         h = rms_norm(x, layer["ln2"], cfg.layer_norm_epsilon)
         ca = layer["cross_attn"]
         q = _split_heads(_proj(h, ca["q"], cfg.dtype), cfg.num_heads, cfg.d_kv)
-        ck, cv = cross_kv[i]
+        ck = _dequantize_kv(cross_kv[i][0], cfg.dtype)
+        cv = _dequantize_kv(cross_kv[i][1], cfg.dtype)
         h = _proj(
             _merge_heads(attention(q, ck, cv, None, None, cfg.dtype)),
             ca["o"], cfg.dtype,
