@@ -75,13 +75,85 @@ class Instrument:
     def remove_invalid_notes(self) -> None:
         self.notes = [n for n in self.notes if n.end > n.start]
 
-    def get_piano_roll(self, fs: int = 100, times: Optional[np.ndarray] = None
-                       ) -> np.ndarray:
+    def get_piano_roll(
+        self,
+        fs: int = 100,
+        times: Optional[np.ndarray] = None,
+        pedal_threshold: Optional[int] = 64,
+    ) -> np.ndarray:
+        """Velocity piano roll with pretty_midi Instrument.get_piano_roll
+        semantics (the reference consumes pretty_midi's defaults at
+        music2midi/evaluation.py:34-35 and music2midi/plot_midi.py:118-119):
+
+          * notes stamped as velocity over [int(start*fs), int(end*fs))
+          * CC64 sustain pedal (value >= pedal_threshold) holds the running
+            per-pitch maximum until release; None disables
+          * pitch bends shift the roll by whole semitones plus a linear
+            interpolation for the fractional part (2-semitone full range)
+          * drum instruments produce zeros
+          * times integration: column n is the mean over
+            [round(times[n]*fs), round(times[n+1]*fs)); the final column
+            stays zero, exactly like pretty_midi
+        """
+        if not self.notes:
+            return np.zeros((128, 0))
         end_time = self.get_end_time()
+        if times is not None and len(times) and times[-1] > end_time:
+            end_time = float(times[-1])
         n_cols = int(fs * end_time)
         roll = np.zeros((128, n_cols))
+        if self.is_drum:
+            return roll if times is None else _integrate_roll(roll, fs, times)
         for note in self.notes:
-            roll[note.pitch, int(note.start * fs):int(note.end * fs)] += note.velocity
+            roll[note.pitch, int(note.start * fs):int(note.end * fs)] += (
+                note.velocity
+            )
+
+        if pedal_threshold is not None:
+            CC_SUSTAIN = 64
+            time_pedal_on = 0
+            is_pedal_on = False
+            for cc in (
+                e for e in self.control_changes if e.number == CC_SUSTAIN
+            ):
+                time_now = int(cc.time * fs)
+                is_current_on = cc.value >= pedal_threshold
+                if not is_pedal_on and is_current_on:
+                    time_pedal_on = time_now
+                    is_pedal_on = True
+                elif is_pedal_on and not is_current_on:
+                    sub = roll[:, time_pedal_on:time_now]
+                    roll[:, time_pedal_on:time_now] = np.maximum.accumulate(
+                        sub, axis=1
+                    )
+                    is_pedal_on = False
+
+        ordered_bends = sorted(self.pitch_bends, key=lambda b: b.time)
+        end_sentinel = TimedEvent(end_time, 0)
+        for bend, nxt in zip(
+            ordered_bends, ordered_bends[1:] + [end_sentinel]
+        ):
+            if abs(bend.value) < 1:
+                continue
+            semitones = 2.0 * bend.value / 8192.0
+            bend_int = int(np.sign(semitones) * np.floor(np.abs(semitones)))
+            bend_frac = float(np.abs(semitones - bend_int))
+            lo, hi = int(bend.time * fs), int(nxt.time * fs)
+            bent = np.zeros((128, max(hi - lo, 0)))
+            if bend.value >= 0:
+                if bend_int != 0:
+                    bent[bend_int:] = roll[:-bend_int, lo:hi]
+                else:
+                    bent = roll[:, lo:hi].copy()
+                bent[1:] = (1 - bend_frac) * bent[1:] + bend_frac * bent[:-1]
+            else:
+                if bend_int != 0:
+                    bent[:bend_int] = roll[-bend_int:, lo:hi]
+                else:
+                    bent = roll[:, lo:hi].copy()
+                bent[:-1] = (1 - bend_frac) * bent[:-1] + bend_frac * bent[1:]
+            roll[:, lo:hi] = bent
+
         if times is None:
             return roll
         return _integrate_roll(roll, fs, times)
@@ -89,14 +161,16 @@ class Instrument:
 
 def _integrate_roll(roll: np.ndarray, fs: int, times: np.ndarray) -> np.ndarray:
     """pretty_midi semantics for get_piano_roll(times=...): column n is the
-    mean of roll columns in [round(times[n]*fs), round(times[n+1]*fs))."""
+    mean of roll columns in [round(times[n]*fs), round(times[n+1]*fs));
+    the final column is left zero (pretty_midi iterates pairs only)."""
     times = np.array(np.round(np.asarray(times) * fs), dtype=np.int64)
     out = np.zeros((roll.shape[0], times.shape[0]))
-    bounds = np.append(times, times[-1] + 1 if len(times) else 0)
-    for n in range(len(times)):
-        start, end = bounds[n], bounds[n + 1]
-        if start < roll.shape[1] and end > start:
-            out[:, n] = np.mean(roll[:, start:min(end, roll.shape[1])], axis=1)
+    for n in range(len(times) - 1):
+        start, end = times[n], times[n + 1]
+        if start < roll.shape[1]:
+            if start == end:
+                end = start + 1
+            out[:, n] = np.mean(roll[:, start:end], axis=1)
     return out
 
 
@@ -134,24 +208,26 @@ class MidiFile:
             inst.remove_invalid_notes()
 
     def get_piano_roll(
-        self, fs: int = 100, times: Optional[np.ndarray] = None
+        self,
+        fs: int = 100,
+        times: Optional[np.ndarray] = None,
+        pedal_threshold: Optional[int] = 64,
     ) -> np.ndarray:
-        """Sum of instrument rolls (pretty_midi PrettyMIDI.get_piano_roll)."""
+        """Sum of instrument rolls, padded to the longest (pretty_midi
+        PrettyMIDI.get_piano_roll: per-instrument pedal + pitch-bend
+        processing happens before summation)."""
         if not self.instruments:
-            if times is None:
-                return np.zeros((128, 0))
-            return np.zeros((128, len(times)))
-        end_time = self.get_end_time()
-        n_cols = int(fs * end_time)
-        roll = np.zeros((128, n_cols))
-        for inst in self.instruments:
-            for note in inst.notes:
-                roll[note.pitch, int(note.start * fs):int(note.end * fs)] += (
-                    note.velocity
-                )
-        if times is None:
-            return roll
-        return _integrate_roll(roll, fs, times)
+            return np.zeros((128, 0))
+        rolls = [
+            inst.get_piano_roll(
+                fs=fs, times=times, pedal_threshold=pedal_threshold
+            )
+            for inst in self.instruments
+        ]
+        out = np.zeros((128, max(r.shape[1] for r in rolls)))
+        for r in rolls:
+            out[:, : r.shape[1]] += r
+        return out
 
     def get_beats(self) -> np.ndarray:
         """Quarter-note beat times from the tempo map, starting at 0."""

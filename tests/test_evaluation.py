@@ -42,10 +42,30 @@ def test_octave_shift_still_scores_one():
     assert evaluate_batch([a], [b]) == pytest.approx(1.0)
 
 
-def test_semitone_shift_scores_zero():
+def test_pitch_bends_change_score():
+    """Bends reach the evaluation roll (reference evaluation.py:29-35 via
+    pretty_midi): a bend-carrying target scores differently vs a plain one."""
+    from music2midi_tpu.midi import TimedEvent
+
+    notes = np.array([[0.0, 1.0, 60, 80]])
+    plain = numpy_to_midi(notes)
+    bent = numpy_to_midi(notes)
+    bent.instruments[0].pitch_bends.append(TimedEvent(0.5, 4096))
+    same = evaluate_batch([plain], [numpy_to_midi(notes)])
+    moved = evaluate_batch([bent], [numpy_to_midi(notes)])
+    assert same == pytest.approx(1.0)
+    # second half of the note is shifted to pitch 61 -> ~half the frames stop
+    # matching
+    assert moved == pytest.approx(0.51, abs=0.02)
+
+
+def test_semitone_shift_scores_near_zero():
     a = numpy_to_midi(np.array([[0.0, 1.0, 60, 80]]))
     b = numpy_to_midi(np.array([[0.0, 1.0, 61, 80]]))
-    assert evaluate_batch([a], [b]) == pytest.approx(0.0)
+    # 99/100 frames mismatch by a semitone; the final frame is zero in BOTH
+    # rolls (pretty_midi's times integration leaves the last column zero)
+    # and pitch 0 is "voiced" under mir_eval's freq>0 rule, so it matches.
+    assert evaluate_batch([a], [b]) == pytest.approx(0.01)
 
 
 def test_half_overlap():

@@ -104,7 +104,69 @@ def test_piano_roll_with_times():
     times = np.arange(0, end, 0.01)
     roll = midi.get_piano_roll(fs=100, times=times)
     assert roll.shape == (128, len(times))
+    # pretty_midi integrates over [times[n], times[n+1]) pairs only, so the
+    # final column is always zero
+    assert (roll[60, :49] == 80).all()
+    assert (roll[:, 49] == 0).all()
+
+
+def test_piano_roll_pitch_bend_whole_semitone():
+    """+4096 bend units = exactly +1 semitone at the 2-semitone full range:
+    the roll content shifts up one pitch row for the bent region."""
+    from music2midi_tpu.midi import TimedEvent
+
+    notes = np.array([[0.0, 1.0, 60, 80]])
+    midi = numpy_to_midi(notes)
+    midi.instruments[0].pitch_bends.append(TimedEvent(0.5, 4096))
+    roll = midi.get_piano_roll(fs=100)
+    assert roll.shape == (128, 100)
     assert (roll[60, :50] == 80).all()
+    assert (roll[60, 50:] == 0).all()
+    assert (roll[61, 50:] == 80).all()
+    assert (roll[61, :50] == 0).all()
+
+
+def test_piano_roll_pitch_bend_fractional():
+    """+2048 units = +0.5 semitone: velocity is linearly split between the
+    original row and the row above (pretty_midi's interpolation)."""
+    from music2midi_tpu.midi import TimedEvent
+
+    notes = np.array([[0.0, 1.0, 60, 80]])
+    midi = numpy_to_midi(notes)
+    midi.instruments[0].pitch_bends.append(TimedEvent(0.0, 2048))
+    roll = midi.get_piano_roll(fs=100)
+    assert np.allclose(roll[60, :100], 40.0)
+    assert np.allclose(roll[61, :100], 40.0)
+    assert (roll[62] == 0).all()
+
+
+def test_piano_roll_negative_bend():
+    from music2midi_tpu.midi import TimedEvent
+
+    notes = np.array([[0.0, 1.0, 60, 80]])
+    midi = numpy_to_midi(notes)
+    midi.instruments[0].pitch_bends.append(TimedEvent(0.0, -4096))
+    roll = midi.get_piano_roll(fs=100)
+    assert (roll[59, :100] == 80).all()
+    assert (roll[60] == 0).all()
+
+
+def test_piano_roll_sustain_pedal():
+    """CC64 >= 64 holds the running per-pitch max until release, like
+    pretty_midi's default pedal_threshold=64."""
+    from music2midi_tpu.midi import TimedEvent
+
+    notes = np.array([[0.0, 0.5, 60, 80]])
+    midi = numpy_to_midi(notes)
+    midi.instruments[0].control_changes.append(TimedEvent(0.25, 100, 64))
+    midi.instruments[0].control_changes.append(TimedEvent(0.9, 0, 64))
+    roll = midi.get_piano_roll(fs=100)
+    assert roll.shape == (128, 90)
+    assert (roll[60, :90] == 80).all()
+    # pedal off: nothing held
+    roll_off = midi.get_piano_roll(fs=100, pedal_threshold=None)
+    assert (roll_off[60, :50] == 80).all()
+    assert (roll_off[60, 50:] == 0).all()
 
 
 def test_tempo_change_parse(tmp_path):
