@@ -199,6 +199,22 @@ class DataLoader:
         self.shuffle = shuffle
         self.seed = seed
         self.drop_last = drop_last
+        if self.num_workers > 0 and not use_processes:
+            # The thread pool only parallelizes pitch_shift when the C++ DSP
+            # (which releases the GIL) is built; the numpy fallback holds the
+            # GIL and would silently serialize the most expensive host op.
+            # Fall back to the spawn-context process pool in that case.
+            from .. import native
+
+            if not native.available():
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "native DSP library not built (`make -C native`): "
+                    "thread workers would serialize pitch_shift on the GIL; "
+                    "switching DataLoader to spawn process workers"
+                )
+                use_processes = True
         self.use_processes = use_processes
         self.tokenizer = MidiTokenizer(dataset.config)
         self.epoch = 0

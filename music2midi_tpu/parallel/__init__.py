@@ -1,3 +1,6 @@
+from .distributed import (  # noqa: F401
+    maybe_initialize as maybe_initialize_distributed,
+)
 from .mesh import (  # noqa: F401
     batch_sharding,
     make_mesh,

@@ -202,3 +202,37 @@ def test_bf16_pipeline_smoke():
     assert enc.dtype == np.int16
     midi = e.generate(audio_y=w, sr=16000)
     assert midi is not None
+
+
+def test_train_cli_tp(mini_dataset, tmp_path, monkeypatch):
+    """--tp 2 shards the step over a (dp=2, tp=2) mesh (batch 2 limits dp)."""
+    root, cfg_path = mini_dataset
+    monkeypatch.setattr(
+        sys, "argv",
+        ["train.py", str(root), "--config", str(cfg_path), "--name", "tp2",
+         "--out_dir", str(tmp_path / "runs_tp"), "--max_steps", "1",
+         "--tp", "2"],
+    )
+    import train as train_cli
+
+    train_cli.main()
+    log = (tmp_path / "runs_tp" / "tp2" / "log.jsonl").read_text()
+    assert "train/loss" in log
+
+
+def test_loader_auto_switches_without_native_dsp(mini_dataset, monkeypatch):
+    """Thread workers would serialize pitch_shift on the GIL when the C++
+    DSP is absent; the loader must fall back to spawn processes."""
+    import music2midi_tpu.native as native
+    from music2midi_tpu.data import DataLoader, Music2MIDIDataset
+
+    root, cfg_path = mini_dataset
+    split = np.load(root / "dataset_split.npz", allow_pickle=True)
+    ds = Music2MIDIDataset(root, split["train_id"], str(cfg_path))
+    monkeypatch.setattr(native, "available", lambda: False)
+    loader = DataLoader(ds, batch_size=2, num_workers=2, seed=0)
+    assert loader.use_processes is True
+    # with the native lib present the default stays threads
+    monkeypatch.setattr(native, "available", lambda: True)
+    loader = DataLoader(ds, batch_size=2, num_workers=2, seed=0)
+    assert loader.use_processes is False

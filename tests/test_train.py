@@ -200,3 +200,54 @@ def state_params_unshard(params):
     import jax
 
     return jax.tree.map(lambda x: np.asarray(x), params)
+
+
+def test_grad_accum_matches_big_batch(tiny_setup):
+    """optax.MultiSteps(k=2) over two half-batches produces the same update
+    as one step on the concatenated batch (equal token counts per micro
+    batch, dropout off; reference config.yaml accumulate_grad_batches)."""
+    import jax
+    import optax
+
+    t5_cfg, mel_cfg, params, _ = tiny_setup
+    t5_cfg = t5_cfg._replace(dropout_rate=0.0)
+    rng = np.random.default_rng(7)
+    wave = rng.normal(size=(4, 4096)).astype(np.float32) * 0.1
+    labels = pad_labels([np.array([140, 3, 60, 150, 4, 61, 2])] * 4)
+    cond = np.zeros((4, 2), np.int32)
+
+    inner = adafactor_hf(learning_rate=0.05, warmup_init=False)
+    accum_opt = optax.MultiSteps(inner, every_k_schedule=2)
+    accum_step = make_train_step(accum_opt, t5_cfg, mel_cfg, donate=False)
+    state_a = init_train_state(params, accum_opt)
+    key = jax.random.PRNGKey(0)
+    for lo, hi in ((0, 2), (2, 4)):
+        micro = Batch(wave[lo:hi], labels[lo:hi], cond[lo:hi])
+        state_a, _ = accum_step(state_a, micro, key)
+
+    plain_step = make_train_step(inner, t5_cfg, mel_cfg, donate=False)
+    state_b = init_train_state(params, inner)
+    state_b, _ = plain_step(state_b, Batch(wave, labels, cond), key)
+
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-7
+        ),
+        state_a.params,
+        state_b.params,
+    )
+
+
+def test_distributed_guard_is_noop_single_host(monkeypatch):
+    from music2midi_tpu.parallel import distributed
+
+    monkeypatch.delenv("M2M_DISTRIBUTED", raising=False)
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.delenv("COORDINATOR_ADDRESS", raising=False)
+    assert distributed.should_initialize() is False
+    assert distributed.maybe_initialize() is False
+    monkeypatch.setenv("M2M_DISTRIBUTED", "1")
+    assert distributed.should_initialize() is True
+    monkeypatch.delenv("M2M_DISTRIBUTED")
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "localhost:1234")
+    assert distributed.should_initialize() is True

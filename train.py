@@ -38,6 +38,11 @@ def parse_args():
     )
     parser.add_argument("--out_dir", type=str, default="runs")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument(
+        "--tp", type=int, default=1,
+        help="tensor-parallel degree (attention heads + FFN hidden are "
+             "sharded megatron-style over the tp mesh axis)",
+    )
     parser.add_argument("--max_steps", type=int, default=None)
     parser.add_argument(
         "--lr", type=float, default=None,
@@ -82,6 +87,13 @@ def evaluate_training_batch(engine_params, batch, cfg, t5_cfg, mel_cfg,
 def main():
     args = parse_args()
 
+    # multi-host slices: one process per host; init (guarded, no-op
+    # single-host) must precede the first backend touch so jax.devices()
+    # is the global list
+    from music2midi_tpu.parallel import maybe_initialize_distributed
+
+    maybe_initialize_distributed()
+
     import jax
 
     from music2midi_tpu.config import load_config
@@ -123,14 +135,17 @@ def main():
     params = init_params(jax.random.PRNGKey(args.seed), t5_cfg, num_cond)
 
     # dp must divide the batch size; use the largest divisor that fits the
-    # local device count
+    # device count after carving out tp
     n_dev = len(jax.devices())
+    tp = args.tp
+    if n_dev % tp != 0:
+        raise SystemExit(f"--tp {tp} does not divide {n_dev} devices")
     batch_size = int(dl_cfg.batch_size)
-    dp = max(d for d in range(1, n_dev + 1) if batch_size % d == 0)
-    if dp < n_dev:
-        print(f"note: using {dp}/{n_dev} devices (batch {batch_size} not "
-              f"divisible by {n_dev})")
-    mesh = make_mesh(jax.devices()[:dp], dp=dp, tp=1)
+    dp = max(d for d in range(1, n_dev // tp + 1) if batch_size % d == 0)
+    if dp * tp < n_dev:
+        print(f"note: using {dp * tp}/{n_dev} devices (batch {batch_size} "
+              f"not divisible by {n_dev // tp} with tp={tp})")
+    mesh = make_mesh(jax.devices()[:dp * tp], dp=dp, tp=tp)
     params = jax.device_put(params, param_shardings(mesh, params))
     bshard = batch_sharding(mesh)
 
