@@ -33,6 +33,24 @@ import numpy as np
 # --------------------------------------------------------------------- #
 
 
+def _blocked_power_spectra(
+    x: np.ndarray, hop: int, n_fft: int, block: int = 2048
+):
+    """Yield (start_frame, power) float32 blocks of the STFT power spectrum
+    of pre-padded signal `x`.  Blocking keeps peak memory ~block*n_fft
+    floats instead of materializing a (T, n_fft) float64 frame matrix —
+    the difference between ~2 s and ~70 s per 3-minute song on this host."""
+    n_frames = 1 + (len(x) - n_fft) // hop
+    window = np.hanning(n_fft).astype(np.float32)
+    base = np.arange(n_fft)[None, :]
+    for start in range(0, n_frames, block):
+        stop = min(start + block, n_frames)
+        idx = (np.arange(start, stop)[:, None] * hop + base)
+        frames = x[idx] * window
+        spec = np.fft.rfft(frames, axis=1)
+        yield start, (spec.real ** 2 + spec.imag ** 2)
+
+
 def chroma_features(
     audio: np.ndarray,
     sr: int,
@@ -43,13 +61,9 @@ def chroma_features(
     with a log compression (CENS-like)."""
     hop = int(round(sr / feature_rate))
     n_fft = 4096
-    # frame via the shared STFT (hop must divide reasonably; use custom)
     pad = n_fft // 2
-    x = np.pad(audio.astype(np.float64), pad, mode="reflect")
+    x = np.pad(audio.astype(np.float32), pad, mode="reflect")
     n_frames = 1 + (len(x) - n_fft) // hop
-    idx = np.arange(n_frames)[:, None] * hop + np.arange(n_fft)[None, :]
-    window = np.hanning(n_fft)
-    spec = np.abs(np.fft.rfft(x[idx] * window, axis=1)) ** 2  # (T, bins)
     freqs = np.fft.rfftfreq(n_fft, 1 / sr)
     # map bins to MIDI pitches 24..108 honoring the tuning offset
     with np.errstate(divide="ignore"):
@@ -57,11 +71,12 @@ def chroma_features(
     midi[0] = -1
     pitch_bin = np.round(midi).astype(int)
     valid = (pitch_bin >= 24) & (pitch_bin <= 108)
-    chroma = np.zeros((12, spec.shape[0]))
-    for c in range(12):
-        sel = valid & (pitch_bin % 12 == c)
-        if sel.any():
-            chroma[c] = spec[:, sel].sum(axis=1)
+    # bins -> chroma classes as one (n_bins, 12) projection matmul per block
+    proj = np.zeros((len(freqs), 12), dtype=np.float32)
+    proj[np.arange(len(freqs))[valid], pitch_bin[valid] % 12] = 1.0
+    chroma = np.empty((12, n_frames))
+    for start, power in _blocked_power_spectra(x, hop, n_fft):
+        chroma[:, start:start + power.shape[0]] = (power @ proj).T
     # CENS-style: l1-normalize columns, quantize against energy-fraction
     # thresholds (synctoolbox quantize_chroma), l2-normalize for cosine
     # cost.  (A log1p compression here flattened the classes so badly the
@@ -99,13 +114,13 @@ def estimate_tuning(audio: np.ndarray, sr: int) -> float:
     n_fft = 4096
     hop = 2048
     pad = n_fft // 2
-    x = np.pad(audio.astype(np.float64), pad, mode="reflect")
-    n_frames = max(1, 1 + (len(x) - n_fft) // hop)
-    idx = np.arange(n_frames)[:, None] * hop + np.arange(n_fft)[None, :]
-    spec = np.abs(np.fft.rfft(x[idx] * np.hanning(n_fft), axis=1))
+    x = np.pad(audio.astype(np.float32), pad, mode="reflect")
     freqs = np.fft.rfftfreq(n_fft, 1 / sr)
-    # peak bins per frame (local maxima above threshold)
-    mags = spec.max(axis=0)
+    # running per-bin max magnitude over frames, block by block
+    mags = np.zeros(len(freqs), dtype=np.float64)
+    for _, power in _blocked_power_spectra(x, hop, n_fft):
+        np.maximum(mags, power.max(axis=0), out=mags)
+    mags = np.sqrt(mags)
     lo, hi = np.searchsorted(freqs, [55.0, 2093.0])
     seg = mags[lo:hi]
     peaks = np.where(
@@ -143,7 +158,7 @@ def compute_optimal_chroma_shift(
     for shift in range(12):
         rb = np.roll(b, shift, axis=0)
         cost = _cost_matrix(a, rb)
-        path = dtw_path(cost)
+        path = _dtw_full(a, rb, cost)
         total = cost[path[0], path[1]].sum() / path.shape[1]
         if total < best:
             best, best_shift = total, shift
@@ -165,6 +180,26 @@ _WEIGHTS = (1.5, 1.5, 2.0)  # reference align_audio_midi.py:241
 def _cost_matrix(fa: np.ndarray, fb: np.ndarray) -> np.ndarray:
     """1 - cosine similarity of column features (both L2-normalized)."""
     return 1.0 - fa.T @ fb
+
+
+def _native_dtw():
+    """The C++ banded kernel, or None (pure-Python fallback below)."""
+    try:
+        from .. import native
+
+        if native.available():
+            return native.dtw_band
+    except Exception:
+        pass
+    return None
+
+
+def _dtw_full(fa: np.ndarray, fb: np.ndarray, cost=None) -> np.ndarray:
+    """Unbanded DTW on features — native kernel when built."""
+    kernel = _native_dtw()
+    if kernel is not None:
+        return kernel(fa, fb)
+    return dtw_path(_cost_matrix(fa, fb) if cost is None else cost)
 
 
 def dtw_path(
@@ -279,21 +314,21 @@ def multiscale_dtw(
         return np.zeros((2, 0), dtype=int)
     ca = _avg_pool(fa, coarse_factor)
     cb = _avg_pool(fb, coarse_factor)
-    coarse = dtw_path(_cost_matrix(ca, cb))
+    coarse = _dtw_full(ca, cb)
     # project coarse path to full resolution -> allowed band
-    band_lo = np.full(n, m, dtype=int)
-    band_hi = np.zeros(n, dtype=int)
     ci = coarse[0] * coarse_factor
     cj = coarse[1] * coarse_factor
     anchor_j = np.interp(np.arange(n), ci, cj)
-    lo = np.maximum(0, (anchor_j - band_radius).astype(int))
-    hi = np.minimum(m, (anchor_j + band_radius).astype(int) + 1)
-    band_lo, band_hi = lo, hi
+    lo = np.maximum(0, (anchor_j - band_radius).astype(np.int64))
+    hi = np.minimum(m, (anchor_j + band_radius).astype(np.int64) + 1)
+    lo[0] = 0  # (0,0) and (n-1, m-1) must be reachable
+    hi[-1] = m
+    kernel = _native_dtw()
+    if kernel is not None:
+        return kernel(fa, fb, lo, hi)
     mask = np.zeros((n, m), dtype=bool)
     for i in range(n):
-        mask[i, band_lo[i]:band_hi[i]] = True
-    mask[0, 0] = True
-    mask[n - 1, m - 1] = True
+        mask[i, lo[i]:hi[i]] = True
     return dtw_path_fast(_cost_matrix(fa, fb), mask)
 
 

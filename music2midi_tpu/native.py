@@ -65,6 +65,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.m2m_pitch_shift.restype = None
         lib.m2m_fix_invalid_offsets.argtypes = [f64p, ctypes.c_int64]
         lib.m2m_fix_invalid_offsets.restype = None
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.m2m_dtw_band.argtypes = [
+            f32p, f32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            i64p, i64p, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            i64p,
+        ]
+        lib.m2m_dtw_band.restype = ctypes.c_int64
         lib.m2m_version.restype = ctypes.c_int
         _lib = lib
         return _lib
@@ -103,6 +110,49 @@ def resample(x: np.ndarray, up: int, down: int,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), beta,
     )
     return out[:n]
+
+
+def dtw_band(
+    fa: np.ndarray,
+    fb: np.ndarray,
+    lo: Optional[np.ndarray] = None,
+    hi: Optional[np.ndarray] = None,
+    weights=(1.5, 1.5, 2.0),
+) -> np.ndarray:
+    """Banded weighted-step DTW over cosine cost (native kernel).
+
+    fa: (d, n), fb: (d, m) — time on axis 1, matching data/align.py.
+    lo/hi: per-row-of-fa allowed column range [lo[i], hi[i]); defaults to
+    the full rectangle.  Returns the warp path (2, L), start to end.
+    """
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    a = np.ascontiguousarray(fa.T, dtype=np.float32)  # (n, d)
+    b = np.ascontiguousarray(fb.T, dtype=np.float32)  # (m, d)
+    n, d = a.shape
+    m = b.shape[0]
+    lo_arr = (
+        np.zeros(n, np.int64) if lo is None
+        else np.ascontiguousarray(lo, np.int64)
+    )
+    hi_arr = (
+        np.full(n, m, np.int64) if hi is None
+        else np.ascontiguousarray(hi, np.int64)
+    )
+    out = np.empty(2 * (n + m), dtype=np.int64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    length = lib.m2m_dtw_band(
+        a.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        b.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        d, n, m,
+        lo_arr.ctypes.data_as(i64p), hi_arr.ctypes.data_as(i64p),
+        float(weights[0]), float(weights[1]), float(weights[2]),
+        out.ctypes.data_as(i64p),
+    )
+    if length < 0:
+        raise ValueError("m2m_dtw_band failed (empty input or bad band)")
+    return out[: 2 * length].reshape(length, 2).T.copy()
 
 
 def fix_invalid_offsets(notes: np.ndarray) -> np.ndarray:

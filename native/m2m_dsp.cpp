@@ -20,6 +20,7 @@
 #include <complex>
 #include <cstdint>
 #include <cstring>
+#include <limits>
 #include <numeric>
 #include <vector>
 
@@ -277,6 +278,93 @@ void m2m_fix_invalid_offsets(double* notes, int64_t n) {
   }
 }
 
-int m2m_version() { return 1; }
+// Banded weighted-step DTW over the cosine cost 1 - <fa_i, fb_j>
+// (replaces the pure-Python inner loops of data/align.py; the reference
+// delegates this to synctoolbox's numba kernels, data/align_audio_midi.py
+// :235-247).  The cost matrix is never materialized: cells are evaluated
+// on the fly inside the band, so a 3-minute song at feature rate 50
+// (n=m~9000, band ~200) costs ~2M cells instead of an 81M-cell / 648 MB
+// full matrix.
+//
+//   fa: (n, d) row-major float32 — time-major feature vectors
+//   fb: (m, d) row-major float32
+//   lo/hi: per-row allowed column range [lo[i], hi[i]); pass 0/m for full
+//   steps: (1,0) w_up, (0,1) w_left, (1,1) w_diag; tie-break prefers
+//          up, then left, then diag under strict < (matches align.dtw_path)
+//   out_path: caller buffer of 2*(n+m) int64, filled with (i, j) pairs in
+//             start->end order.  Returns the path length, or -1 on error.
+int64_t m2m_dtw_band(const float* fa, const float* fb, int64_t d, int64_t n,
+                     int64_t m, const int64_t* lo, const int64_t* hi,
+                     double w_up, double w_left, double w_diag,
+                     int64_t* out_path) {
+  if (n <= 0 || m <= 0 || d <= 0) return -1;
+  const double INF = std::numeric_limits<double>::infinity();
+  // band layout: row i occupies [offs[i], offs[i] + width[i]) in D/P
+  std::vector<int64_t> offs(n + 1, 0);
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t w = std::max<int64_t>(0, hi[i] - lo[i]);
+    offs[i + 1] = offs[i] + w;
+  }
+  std::vector<double> D((size_t)offs[n], INF);
+  std::vector<int8_t> P((size_t)offs[n], 0);
+
+  auto cell_cost = [&](int64_t i, int64_t j) -> double {
+    const float* a = fa + i * d;
+    const float* b = fb + j * d;
+    double dot = 0.0;
+    for (int64_t k = 0; k < d; ++k) dot += (double)a[k] * (double)b[k];
+    return 1.0 - dot;
+  };
+  auto dval = [&](int64_t i, int64_t j) -> double {
+    if (i < 0 || j < lo[i] || j >= hi[i]) return INF;
+    return D[(size_t)(offs[i] + (j - lo[i]))];
+  };
+
+  if (lo[0] > 0 || hi[0] <= 0) return -1;  // (0,0) must be in the band
+  D[(size_t)offs[0]] = cell_cost(0, 0);
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t jb = lo[i], je = hi[i];
+    for (int64_t j = jb; j < je; ++j) {
+      if (i == 0 && j == 0) continue;
+      const double c = cell_cost(i, j);
+      double best = dval(i - 1, j) + w_up * c;
+      int8_t step = 0;
+      const double left = dval(i, j - 1) + w_left * c;
+      if (left < best) { best = left; step = 1; }
+      const double diag =
+          (i > 0) ? dval(i - 1, j - 1) + w_diag * c : INF;
+      if (diag < best) { best = diag; step = 2; }
+      if (best < INF) {
+        D[(size_t)(offs[i] + (j - jb))] = best;
+        P[(size_t)(offs[i] + (j - jb))] = step;
+      }
+    }
+  }
+
+  // backtrack from (n-1, m-1); mirrors align.dtw_path
+  static const int64_t STEPS[3][2] = {{1, 0}, {0, 1}, {1, 1}};
+  std::vector<int64_t> rev;
+  rev.reserve(2 * (size_t)(n + m));
+  int64_t i = n - 1, j = m - 1;
+  rev.push_back(i);
+  rev.push_back(j);
+  while (i > 0 || j > 0) {
+    int8_t s = 0;
+    if (j >= lo[i] && j < hi[i]) s = P[(size_t)(offs[i] + (j - lo[i]))];
+    i -= STEPS[s][0];
+    j -= STEPS[s][1];
+    if (i < 0 || j < 0) break;
+    rev.push_back(i);
+    rev.push_back(j);
+  }
+  const int64_t len = (int64_t)rev.size() / 2;
+  for (int64_t k = 0; k < len; ++k) {
+    out_path[2 * k] = rev[rev.size() - 2 * (size_t)(k + 1)];
+    out_path[2 * k + 1] = rev[rev.size() - 2 * (size_t)(k + 1) + 1];
+  }
+  return len;
+}
+
+int m2m_version() { return 2; }
 
 }  // extern "C"

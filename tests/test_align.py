@@ -119,3 +119,135 @@ def test_transpose_midi():
     midi = numpy_to_midi(np.array([[0.0, 1.0, 60, 80]]))
     transpose_midi(midi, -3)
     assert midi.instruments[0].notes[0].pitch == 57
+
+
+# --------------------------------------------------------------------- #
+# native DTW kernel parity + realistic warps (round-2)                   #
+# --------------------------------------------------------------------- #
+
+
+def _require_native():
+    from music2midi_tpu import native
+
+    if not native.available():
+        pytest.skip("native library not built")
+    return native
+
+
+def test_native_dtw_matches_python_full():
+    native = _require_native()
+    rng = np.random.default_rng(0)
+    a = rng.random((24, 120))
+    a /= np.linalg.norm(a, axis=0)
+    idx = np.clip((np.arange(132) / 1.1).astype(int), 0, 119)
+    b = a[:, idx] + 0.01 * rng.random((24, 132))
+    b /= np.linalg.norm(b, axis=0)
+    # python path on the float32-rounded features the kernel sees
+    a32 = a.astype(np.float32).astype(np.float64)
+    b32 = b.astype(np.float32).astype(np.float64)
+    p_py = dtw_path(_cost_matrix(a32, b32))
+    p_nat = native.dtw_band(a, b)
+    np.testing.assert_array_equal(p_py, p_nat)
+
+
+def test_native_dtw_matches_python_banded():
+    native = _require_native()
+    rng = np.random.default_rng(1)
+    a = rng.random((24, 100))
+    a /= np.linalg.norm(a, axis=0)
+    b = rng.random((24, 110))
+    b /= np.linalg.norm(b, axis=0)
+    n, m = 100, 110
+    anchor = np.arange(n) * m / n
+    lo = np.maximum(0, (anchor - 12).astype(np.int64))
+    hi = np.minimum(m, (anchor + 12).astype(np.int64) + 1)
+    lo[0] = 0
+    hi[-1] = m
+    mask = np.zeros((n, m), bool)
+    for i in range(n):
+        mask[i, lo[i]:hi[i]] = True
+    a32 = a.astype(np.float32).astype(np.float64)
+    b32 = b.astype(np.float32).astype(np.float64)
+    p_py = dtw_path(_cost_matrix(a32, b32), mask)
+    p_nat = native.dtw_band(a, b, lo, hi)
+    np.testing.assert_array_equal(p_py, p_nat)
+
+
+def _piecewise_warp(times, knots_midi, knots_song):
+    return np.interp(times, knots_midi, knots_song)
+
+
+def _warped_midi_pair(rng, n_notes=80, transpose=0):
+    """(midi, song_midi, warp knots): song = midi with a piecewise-linear
+    tempo warp (1.25x slower then 0.85x faster) and optional key shift."""
+    pitches = rng.integers(48, 84, n_notes)
+    notes = np.array(
+        [[i * 0.5, i * 0.5 + 0.45, int(p), 90]
+         for i, p in enumerate(pitches)]
+    )
+    dur = n_notes * 0.5
+    knots_midi = np.array([0.0, dur / 2, dur])
+    knots_song = np.array([0.0, dur / 2 * 1.25, dur / 2 * 1.25 + dur / 2 * 0.85])
+    warped = notes.copy()
+    warped[:, 0] = _piecewise_warp(notes[:, 0], knots_midi, knots_song)
+    warped[:, 1] = _piecewise_warp(notes[:, 1], knots_midi, knots_song)
+    warped[:, 2] = np.clip(warped[:, 2] + transpose, 0, 127)
+    return notes, warped, (knots_midi, knots_song)
+
+
+def test_piecewise_tempo_warp_recovery():
+    """Tempo varies mid-song (1.25x then 0.85x): the recovered warp path
+    must track the piecewise-linear warp, not just a global slope."""
+    rng = np.random.default_rng(11)
+    notes, warped, (km, ks) = _warped_midi_pair(rng)
+    midi_audio = numpy_to_midi(notes).synthesize(fs=SR)
+    song_audio = numpy_to_midi(warped).synthesize(fs=SR).astype(np.float32)
+    wp, shift = align_features(song_audio, midi_audio, SR, feature_rate=50)
+    assert shift == 0
+    expected_song_t = _piecewise_warp(wp[1], km, ks)
+    err = np.abs(wp[0] - expected_song_t)
+    assert np.median(err) < 0.15, float(np.median(err))
+    # both halves individually tracked (a global-slope fit would fail one)
+    first = wp[1] < km[1] * 0.8
+    second = wp[1] > km[1] * 1.2
+    assert np.median(err[first]) < 0.2 and np.median(err[second]) < 0.2
+
+
+def test_keyshift_plus_warp_plus_noise():
+    """Combined key shift (+4), piecewise tempo warp, and additive noise."""
+    rng = np.random.default_rng(12)
+    notes, warped, (km, ks) = _warped_midi_pair(rng, transpose=4)
+    midi_audio = numpy_to_midi(notes).synthesize(fs=SR)
+    song_audio = numpy_to_midi(warped).synthesize(fs=SR).astype(np.float32)
+    song_audio = song_audio + 0.01 * rng.normal(
+        size=len(song_audio)
+    ).astype(np.float32)
+    wp, shift = align_features(song_audio, midi_audio, SR, feature_rate=50)
+    assert shift == 4
+    err = np.abs(wp[0] - _piecewise_warp(wp[1], km, ks))
+    assert np.median(err) < 0.2, float(np.median(err))
+
+
+def test_three_minute_alignment_is_seconds_not_minutes():
+    """The round-1 pure-Python DTW took minutes on a 3-minute song; the
+    native banded kernel + blocked features must keep it in seconds."""
+    import time
+
+    _require_native()
+    rng = np.random.default_rng(13)
+    notes = np.array(
+        [[i * 0.5, i * 0.5 + 0.45, int(p), 90]
+         for i, p in enumerate(rng.integers(48, 84, 360))]
+    )
+    midi_audio = numpy_to_midi(notes).synthesize(fs=SR)
+    idx = np.clip(
+        (np.arange(int(len(midi_audio) * 1.08)) / 1.08).astype(int),
+        0, len(midi_audio) - 1,
+    )
+    song_audio = midi_audio[idx].astype(np.float32)  # crude 8% slowdown
+    t0 = time.perf_counter()
+    wp, _ = align_features(song_audio, midi_audio, SR, feature_rate=50)
+    elapsed = time.perf_counter() - t0
+    assert elapsed < 30.0, f"alignment took {elapsed:.1f}s"
+    slope = np.polyfit(wp[1], wp[0], 1)[0]
+    assert 1.05 < slope < 1.11, slope
