@@ -330,44 +330,49 @@ class Music2MIDI:
 
     def generate_batch(
         self,
-        waveforms: Sequence[np.ndarray],
+        waveforms: Optional[Sequence[np.ndarray]] = None,
         cond_indices: Optional[Sequence[Optional[Sequence[int]]]] = None,
+        audio_paths: Optional[Sequence[Union[str, Path]]] = None,
     ) -> List[MidiFile]:
         """Throughput serving API: many songs -> many MidiFiles in ONE
         chunk stream.
 
         All songs' 3-s chunks are concatenated into full device batches
-        (a 3-min song alone fills only half a 128-wide batch), and every
-        batch is dispatched before any result is collected, so device
-        compute overlaps host detokenize-trim and per-dispatch latency
-        amortizes across songs — the "multiple songs in flight per chip"
-        plan from SURVEY.md §7."""
+        (a 3-min song alone fills only half a 128-wide batch).  Songs are
+        chunked INCREMENTALLY: a device batch is dispatched the moment
+        enough chunks are buffered, so host chunking / int16 conversion /
+        upload of later songs overlaps device compute of earlier ones, and
+        every batch is dispatched before any result is collected — the
+        "multiple songs in flight per chip" plan from SURVEY.md §7.
+
+        Pass `audio_paths` instead of `waveforms` to also overlap host WAV
+        decode + resampling with device compute (the loads are prefetched
+        on a small thread pool in input order)."""
+        if (waveforms is None) == (audio_paths is None):
+            raise ValueError(
+                "pass exactly one of waveforms / audio_paths"
+            )
         split_duration = float(self.config.dataset.segment_duration)
         n_steps = round(split_duration / self.tokenizer.time_step)
+        model_sr = int(self.config.model.sample_rate)
+
+        if audio_paths is not None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            n_songs = len(audio_paths)
+            pool = ThreadPoolExecutor(max_workers=4)
+            futures = [
+                pool.submit(audio.load, p, sr=model_sr)
+                for p in audio_paths
+            ]
+            wave_stream = (f.result()[0] for f in futures)
+        else:
+            pool = None
+            n_songs = len(waveforms)
+            wave_stream = iter(waveforms)
         if cond_indices is None:
-            cond_indices = [None] * len(waveforms)
+            cond_indices = [None] * n_songs
 
-        # chunk all songs into one stream
-        all_chunks: List[np.ndarray] = []
-        all_cond: List[np.ndarray] = []
-        song_spans: List[tuple] = []
-        chunk_local_idx: List[int] = []
-        for wave, cond in zip(waveforms, cond_indices):
-            song_chunks = self._chunk_waveform(wave)
-            n_chunks = len(song_chunks)
-            start = len(all_chunks)
-            all_chunks.extend(song_chunks)
-            c = (np.zeros(self.num_conditioning, np.int32) if cond is None
-                 else np.asarray(cond, np.int32))
-            all_cond.extend([c] * n_chunks)
-            chunk_local_idx.extend(range(n_chunks))
-            song_spans.append((start, start + n_chunks))
-
-        chunks = np.stack(all_chunks)
-        conds = np.stack(all_cond)
-        local_idx = np.asarray(chunk_local_idx, np.int32)
-
-        # dispatch every batch before collecting any (JAX async dispatch)
         max_bs = int(self.config.inference.batch_size)
         dcfg = DecodeConfig(
             max_length=self.decode_max_length,
@@ -376,11 +381,17 @@ class Music2MIDI:
             suppress_tokens=self.suppress_tokens,
         )
         pending = []
-        for s in range(0, len(chunks), max_bs):
-            batch = chunks[s:s + max_bs]
-            cond_b = conds[s:s + max_bs]
+        buf_chunks: List[np.ndarray] = []  # pending (<=max_bs) chunk rows
+        buf_cond: List[np.ndarray] = []
+        buf_idx: List[int] = []  # per-chunk local index within its song
+        song_spans: List[tuple] = []
+        n_chunks_total = 0
+
+        def dispatch(batch, cond_b, idx_b, seq):
             n = len(batch)
             b = self._bucket(n)
+            batch = np.stack(batch)
+            cond_b = np.stack(cond_b)
             if n < b:
                 batch = np.concatenate(
                     [batch, np.zeros((b - n, batch.shape[1]), np.float32)]
@@ -389,15 +400,41 @@ class Music2MIDI:
                     [cond_b, np.zeros((b - n, cond_b.shape[1]), np.int32)]
                 )
             start_idx = np.zeros(b, np.int32)
-            start_idx[:n] = local_idx[s:s + n] * n_steps
+            start_idx[:n] = np.asarray(idx_b, np.int32) * n_steps
             notes, valid = _encode_generate_detokenize(
                 self.params, self._put(self._encode_wave(batch)),
                 self._put(cond_b),
                 self._put(start_idx),
                 t5_cfg=self.t5_config, mel_cfg=self.mel_config, dcfg=dcfg,
-                rng=self._sample_rng(s),
+                rng=self._sample_rng(seq),
             )
             pending.append((n, notes, valid))
+
+        try:
+            for wave, cond in zip(wave_stream, cond_indices):
+                song_chunks = self._chunk_waveform(wave)
+                c = (
+                    np.zeros(self.num_conditioning, np.int32)
+                    if cond is None else np.asarray(cond, np.int32)
+                )
+                song_spans.append(
+                    (n_chunks_total, n_chunks_total + len(song_chunks))
+                )
+                n_chunks_total += len(song_chunks)
+                for k, row in enumerate(song_chunks):
+                    buf_chunks.append(row)
+                    buf_cond.append(c)
+                    buf_idx.append(k)
+                    if len(buf_chunks) == max_bs:
+                        dispatch(
+                            buf_chunks, buf_cond, buf_idx, len(pending)
+                        )
+                        buf_chunks, buf_cond, buf_idx = [], [], []
+            if buf_chunks:
+                dispatch(buf_chunks, buf_cond, buf_idx, len(pending))
+        finally:
+            if pool is not None:
+                pool.shutdown(wait=False)
 
         # collect + trim on host while the device keeps working
         per_chunk: List[np.ndarray] = []

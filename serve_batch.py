@@ -36,10 +36,8 @@ def main():
     args = parser.parse_args()
 
     from evaluate import load_engine
-    from music2midi_tpu import audio
 
     engine = load_engine(args.ckpt, args.config, args.dtype)
-    model_sr = int(engine.config.model.sample_rate)
     names = {}
     if args.genre:
         names["genre"] = args.genre
@@ -49,14 +47,12 @@ def main():
 
     out_dir = Path(args.out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
-    waveforms, paths = [], []
-    for song in args.songs:
-        y, _ = audio.load(song, sr=model_sr)
-        waveforms.append(y)
-        paths.append(Path(song))
+    paths = [Path(song) for song in args.songs]
     t0 = time.perf_counter()
+    # audio_paths mode: WAV decode/resample prefetches on threads and
+    # overlaps device compute of earlier songs
     midis = engine.generate_batch(
-        waveforms, [cond] * len(waveforms)
+        cond_indices=[cond] * len(paths), audio_paths=paths
     )
     elapsed = time.perf_counter() - t0
     total_notes = 0

@@ -261,3 +261,32 @@ def test_quantized_cross_kv(setup):
     back = np.asarray(_dequantize_kv(_quantize_kv(x), jnp.float32))
     rel = np.abs(back - np.asarray(x)).max() / np.abs(x).max()
     assert rel < 0.01, rel
+
+
+def test_generate_batch_audio_paths_mode(engine, tmp_path):
+    """audio_paths mode (threaded WAV decode overlapped with dispatch)
+    produces identical results to the waveform mode."""
+    from music2midi_tpu.audio import write_wav
+
+    rng = np.random.default_rng(10)
+    songs = [
+        (rng.normal(size=int(4.5 * 16000)) * 0.2).astype(np.float32),
+        (rng.normal(size=int(7 * 16000)) * 0.2).astype(np.float32),
+    ]
+    paths = []
+    for k, s in enumerate(songs):
+        p = tmp_path / f"song{k}.wav"
+        write_wav(p, s, 16000)
+        paths.append(p)
+    by_wave = engine.generate_batch(songs)
+    by_path = engine.generate_batch(audio_paths=paths)
+    for a, b in zip(by_wave, by_path):
+        na = [(n.start, n.end, n.pitch) for i in a.instruments
+              for n in i.notes]
+        nb = [(n.start, n.end, n.pitch) for i in b.instruments
+              for n in i.notes]
+        assert na == nb
+    with pytest.raises(ValueError):
+        engine.generate_batch(songs, audio_paths=paths)
+    with pytest.raises(ValueError):
+        engine.generate_batch()
