@@ -27,6 +27,7 @@ from ..models.t5 import (
     decode_step,
     init_kv_cache,
     precompute_cross_kv,
+    prepare_decode_params,
 )
 
 
@@ -35,21 +36,23 @@ class DecodeConfig(NamedTuple):
     temperature: float = 0.0  # 0 => greedy
     top_k: int = 0  # 0 => no top-k filtering
     suppress_tokens: tuple = ()  # token ids masked to -inf before selection
-    quantize_cross_kv: bool = False  # int8 cross-KV storage.  MEASURED
-    # NEGATIVE on this stack (518 vs 382 ms per 255-step batch): XLA
-    # materializes the dequantized tensors instead of fusing the scale into
-    # the attention dot, paying the int8 read AND a bf16 round trip.  Kept
-    # as groundwork — a Pallas attention kernel that dequantizes in VMEM is
-    # the way to actually collect the 2x cross-KV bandwidth saving
-    # (round-2).  Token agreement vs bf16: ~97%.
+    quantize_cross_kv: bool = False  # int8 cross-KV storage.  Round-2:
+    # the scales now fold into the score/prob vectors AFTER the int8
+    # matmuls (models/t5.py:_cross_attention_int8, exact algebra), fixing
+    # r1's materialized-dequant regression (518 -> 378 ms per 255-step
+    # batch, now at parity with bf16).  Token agreement vs bf16: ~99.9%.
+    # Neutral on this stack because decode is op-ISSUE bound, not
+    # bandwidth bound (see below); kept for real-HBM-bound hardware.
     unroll: int = 1  # decode steps per while-loop iteration (early-exit
-    # check runs every `unroll` steps).  Measured on v5e at B=128: decode
-    # is ~1.7 ms/step and FLAT across unroll 1..16, i.e. HBM-bandwidth
-    # bound, not loop-overhead bound: each step reads the full self-KV
-    # cache (402 MB at L=256) + cross-KV (300 MB, intrinsic) + weights
-    # (30 MB).  Future levers: phase-bucketed cache growth (~1.4x) and
-    # int8 cross-KV (~1.1x); the biggest real-world factor is that trained
-    # models early-exit at 30-150 tokens vs the 256 forced in bench.py.
+    # check runs every `unroll` steps).  Round-2 diagnosis at B=128:
+    # decode is ~1.5 ms/step and FLAT across unroll 1..8 AND invariant to
+    # weight precision, cross-KV precision, and fused projections — i.e.
+    # bound by per-op issue overhead (~15-20 us/op on this stack x ~85
+    # sequential ops/step), not HBM bandwidth or loop overhead (measured:
+    # fori_loop fixed cost ~170 us/iter, marginal op ~15 us).  The lever
+    # is OP-COUNT reduction: per-layer Pallas megakernels (~26 us/call
+    # measured in-loop).  Real-world factor: trained models early-exit at
+    # 30-150 tokens vs the 256 forced in bench.py.
 
 
 class _State(NamedTuple):
@@ -107,6 +110,9 @@ def generate_tokens(
     cross_kv = precompute_cross_kv(
         params, encoder_hidden, cfg, quantize=dcfg.quantize_cross_kv
     )
+    # one-time decode weight prep: pre-cast to cfg.dtype + fused qkv/wi
+    # (the while_loop then reads half the weight bytes per step)
+    dparams = prepare_decode_params(params, cfg)
 
     # phased cache growth: decode is self-KV-bandwidth bound (every step
     # reads the whole padded cache), and trained models typically finish in
@@ -137,7 +143,7 @@ def generate_tokens(
             cache = list(cache)
             for _ in range(unroll):
                 logits, cache = decode_step(
-                    params, token, step, cache, cross_kv, cfg, cache_len
+                    dparams, token, step, cache, cross_kv, cfg, cache_len
                 )
                 nxt, rng_ = _select_next(logits, rng_, dcfg)
                 nxt = jnp.where(done, cfg.pad_token_id, nxt)
