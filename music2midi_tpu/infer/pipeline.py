@@ -37,7 +37,12 @@ from ..models.t5 import (
     init_params,
     t5_config_from,
 )
-from ..ops.mel import LogMelConfig, log_mel_spectrogram, log_mel_config_from
+from ..ops.mel import (
+    LogMelConfig,
+    log_mel_config_from,
+    log_mel_spectrogram,
+    log_mel_spectrogram_fast,
+)
 from ..tokenizer import MidiTokenizer
 from ..utils import numpy_to_midi
 from .decode import DecodeConfig, generate_tokens
@@ -485,10 +490,16 @@ def _encode_and_generate(
 
     wave_chunks may be int16 (x / 32768 semantics): host->device upload is
     the serving bottleneck on tunneled TPUs (~22 MB/s measured), and audio
-    is 16-bit at源 anyway — int16 transport halves it losslessly."""
+    is 16-bit at the source anyway — int16 transport halves it losslessly.
+
+    Mel path: fp32 (the bit-parity mode) uses the jnp FFT; every other
+    dtype is serving mode and takes the fused Pallas FFT kernel on TPU."""
     if jnp.issubdtype(wave_chunks.dtype, jnp.integer):
         wave_chunks = wave_chunks.astype(jnp.float32) / 32768.0
-    mel = log_mel_spectrogram(wave_chunks, mel_cfg)
+    if t5_cfg.dtype == jnp.float32:
+        mel = log_mel_spectrogram(wave_chunks, mel_cfg)
+    else:
+        mel = log_mel_spectrogram_fast(wave_chunks, mel_cfg)
     embeds = conditioning_prepend(params, mel, cond_index)
     enc = encode(params, embeds, t5_cfg)
     return generate_tokens(params, enc, t5_cfg, dcfg, rng=rng)

@@ -165,6 +165,27 @@ def log_mel_spectrogram(
     return jnp.log(jnp.clip(mel, min=cfg.log_floor))
 
 
+def log_mel_spectrogram_fast(
+    wave: jax.Array, cfg: LogMelConfig = LogMelConfig()
+) -> jax.Array:
+    """Serving-mode mel frontend: the fused Pallas Cooley-Tukey kernel on
+    TPU (measured 3.5 ms vs 9.25 ms for the XLA-FFT path at B=128 x 3 s,
+    in-loop slope; see mel_pallas.py), the jnp FFT path elsewhere.
+
+    NOT the bit-parity path: the kernel differs from the jnp FFT by
+    <= 3e-5 in the log domain, so fp32 token-exact flows keep
+    log_mel_spectrogram (CLAUDE.md numerics contract)."""
+    if (
+        jax.default_backend() == "tpu"
+        and cfg.n_fft % 128 == 0
+        and cfg.hop_length % 128 == 0
+    ):
+        from .mel_pallas import log_mel_spectrogram_pallas_fft
+
+        return log_mel_spectrogram_pallas_fft(wave, cfg)
+    return log_mel_spectrogram(wave, cfg)
+
+
 def log_mel_config_from(config) -> LogMelConfig:
     """Build from the shared YAML tree (reference transformer.py:18-22)."""
     return LogMelConfig(

@@ -30,6 +30,45 @@ def test_plot_midi_evaluation(tmp_path):
     assert out.stat().st_size > 1000
 
 
+def test_plot_interactive_sequence(tmp_path):
+    """Standalone-HTML piano roll (bokeh-equivalent, reference
+    plot_midi.py:138-260): embeds the notes as JSON + a canvas viewer."""
+    from music2midi_tpu.plot_interactive import plot_midi_sequence_html
+
+    midi = numpy_to_midi(
+        np.array([[0.0, 0.5, 60, 80], [0.5, 1.0, 64, 90]])
+    )
+    out = tmp_path / "roll.html"
+    html = plot_midi_sequence_html(midi, path=out, title="my song")
+    assert out.read_text() == html
+    assert "<canvas" in html and "my song" in html
+    import json
+    import re
+
+    notes = json.loads(re.search(r"NOTES = (\[.*?\]), CLASSES", html).group(1))
+    assert {n["p"] for n in notes} == {60, 64}
+    assert all(n["t1"] > n["t0"] for n in notes)
+
+
+def test_plot_interactive_evaluation(tmp_path):
+    from music2midi_tpu.plot_interactive import plot_midi_evaluation_html
+
+    a = numpy_to_midi(np.array([[0.0, 1.0, 60, 80], [1.0, 2.0, 64, 80]]))
+    b = numpy_to_midi(np.array([[0.0, 1.0, 60, 80], [1.0, 2.0, 67, 80]]))
+    html = plot_midi_evaluation_html(a, b, path=tmp_path / "eval.html")
+    import json
+    import re
+
+    notes = json.loads(re.search(r"NOTES = (\[.*?\]), CLASSES", html).group(1))
+    classes = json.loads(
+        re.search(r"CLASSES = (\[.*?\]);", html).group(1)
+    )
+    assert [c["name"] for c in classes][:1] == ["TP"]
+    # 60 matches (TP), 64 missed (FN), 67 extra (FP)
+    by_class = {c: {n["p"] for n in notes if n["c"] == c} for c in (0, 1, 2)}
+    assert 60 in by_class[0] and 64 in by_class[1] and 67 in by_class[2]
+
+
 def test_extract_melody():
     from music2midi_tpu.plot_midi import extract_melody_from_piano_roll
 
