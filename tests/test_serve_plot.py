@@ -168,6 +168,12 @@ def test_webui_generate_wav_upload(webui_server):
     with urllib.request.urlopen(webui_server + m.group(1)) as r:
         wav = r.read()
     assert wav[:4] == b"RIFF"
+    # the interactive piano roll is linked and fetchable
+    m = re.search(r'href="([^"]*roll\.html)"', html)
+    assert m
+    with urllib.request.urlopen(webui_server + m.group(1)) as r:
+        roll = r.read().decode()
+    assert "<canvas" in roll and "NOTES" in roll
 
 
 def test_webui_generate_empty_form(webui_server):

@@ -25,6 +25,8 @@ from urllib.parse import parse_qs, urlparse
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+from music2midi_tpu.midi import MidiFile  # noqa: E402 — path set above
+
 UPLOAD_DIR = Path("static/uploads")
 TEMPLATE_DIR = Path(__file__).resolve().parent / "templates"
 STATIC_DIR = Path(__file__).resolve().parent / "static"
@@ -65,6 +67,15 @@ def parse_multipart(headers, body: bytes):
     return fields, files
 
 
+def _write_roll(midi_data, result_dir: Path) -> None:
+    """Interactive piano-roll page next to the result (hover/zoom viewer)."""
+    from music2midi_tpu.plot_interactive import plot_midi_sequence_html
+
+    plot_midi_sequence_html(
+        midi_data, path=result_dir / "roll.html", title="piano cover roll"
+    )
+
+
 def generate_result(url: str, upload):
     """-> (result_dir, video_path, audio_path, display_video)."""
     from music2midi_tpu.serve.webui_utils import (
@@ -98,6 +109,8 @@ def generate_result(url: str, upload):
     midi_path = result_dir / "output.mid"
     if audio_path.exists() and video_path.exists():
         print("Using existing result at", result_dir)
+        if midi_path.exists() and not (result_dir / "roll.html").exists():
+            _write_roll(MidiFile(midi_path), result_dir)
         return (result_dir, video_path, audio_path,
                 video_stream_present(video_path))
     try:
@@ -110,6 +123,7 @@ def generate_result(url: str, upload):
         midi_data = engine.generate(audio_path=video_path)
         midi_data.write(midi_path)
         print("MIDI written to", midi_path)
+        _write_roll(midi_data, result_dir)
         render_preview(midi_data, audio_path)
         if ffmpeg_available() and video_stream_present(video_path):
             print("Post-processing A/V sync")
@@ -152,6 +166,7 @@ class Handler(BaseHTTPRequestHandler):
                     ".css": "text/css", ".js": "text/javascript",
                     ".wav": "audio/wav", ".mp4": "video/mp4",
                     ".mid": "audio/midi", ".mp3": "audio/mpeg",
+                    ".html": "text/html",
                 }.get(f.suffix, "application/octet-stream")
                 self._send(f.read_bytes(), ctype=ctype)
                 return
@@ -185,6 +200,8 @@ class Handler(BaseHTTPRequestHandler):
             "result.html",
             video_path="/" + str(video_path),
             audio_path="/" + str(audio_path),
+            midi_path="/" + str(result_dir / "output.mid"),
+            roll_path="/" + str(result_dir / "roll.html"),
             display_video="block" if display_video else "none",
         ))
 
