@@ -36,23 +36,26 @@ class DecodeConfig(NamedTuple):
     temperature: float = 0.0  # 0 => greedy
     top_k: int = 0  # 0 => no top-k filtering
     suppress_tokens: tuple = ()  # token ids masked to -inf before selection
-    quantize_cross_kv: bool = False  # int8 cross-KV storage.  Round-2:
-    # the scales now fold into the score/prob vectors AFTER the int8
-    # matmuls (models/t5.py:_cross_attention_int8, exact algebra), fixing
-    # r1's materialized-dequant regression (518 -> 378 ms per 255-step
-    # batch, now at parity with bf16).  Token agreement vs bf16: ~99.9%.
-    # Neutral on this stack because decode is op-ISSUE bound, not
-    # bandwidth bound (see below); kept for real-HBM-bound hardware.
+    quantize_cross_kv: bool = False  # int8 cross-KV storage (serving
+    # mode; folded scales, exact algebra — models/t5.py:_attention_int8)
+    quantize_self_kv: bool = False  # int8 SELF-KV cache: each step
+    # quantizes its (B,H,1,D) K/V row and the attention reads int8
+    # operands with the scales folded into the score/prob vectors.
+    # Serving mode only (~99.9% token agreement vs bf16).
+    #
+    # Why int8 both ways: honest in-loop ablation (device_get protocol,
+    # 16-vs-128-step slope; B=128, L=256) shows the decode step is
+    # BANDWIDTH-bound on the caches — 6-layer self-attn+DUS ~490 us,
+    # 6-layer cross-attn ~1027 us at the unpadded L_enc=190 (544 us once
+    # lane-padded to 256), projections only ~24 us (weights stay
+    # VMEM-resident), and int8 K/V operands halve the attention pass
+    # (565 -> 284 us).  r1's "op-issue bound / int8 neutral" diagnosis
+    # was an artifact of a broken timing protocol (block_until_ready does
+    # not force execution through the relay) plus the unpadded cross-KV
+    # masking the bandwidth win.
     unroll: int = 1  # decode steps per while-loop iteration (early-exit
-    # check runs every `unroll` steps).  Round-2 diagnosis at B=128:
-    # decode is ~1.5 ms/step and FLAT across unroll 1..8 AND invariant to
-    # weight precision, cross-KV precision, and fused projections — i.e.
-    # bound by per-op issue overhead (~15-20 us/op on this stack x ~85
-    # sequential ops/step), not HBM bandwidth or loop overhead (measured:
-    # fori_loop fixed cost ~170 us/iter, marginal op ~15 us).  The lever
-    # is OP-COUNT reduction: per-layer Pallas megakernels (~26 us/call
-    # measured in-loop).  Real-world factor: trained models early-exit at
-    # 30-150 tokens vs the 256 forced in bench.py.
+    # check runs every `unroll` steps).  Real-world factor: trained
+    # models early-exit at 30-150 tokens vs the 256 forced in bench.py.
 
 
 class _State(NamedTuple):
@@ -109,7 +112,7 @@ def generate_tokens(
         rng = jax.random.PRNGKey(0)
     cross_kv = precompute_cross_kv(
         params, encoder_hidden, cfg, quantize=dcfg.quantize_cross_kv
-    )
+    )  # CrossKV: lane-padded entries + pad mask, unpacked by decode_step
     # one-time decode weight prep: pre-cast to cfg.dtype + fused qkv/wi
     # (the while_loop then reads half the weight bytes per step)
     dparams = prepare_decode_params(params, cfg)
@@ -133,7 +136,9 @@ def generate_tokens(
         token=jnp.full((B,), cfg.decoder_start_token_id, dtype=jnp.int32),
         done=jnp.zeros((B,), dtype=bool),
         tokens=tokens,
-        cache=tuple(init_kv_cache(B, phase_lens[0], cfg)),
+        cache=tuple(init_kv_cache(
+            B, phase_lens[0], cfg, quantize=dcfg.quantize_self_kv
+        )),
         rng=rng,
     )
 
@@ -172,14 +177,19 @@ def generate_tokens(
         state = jax.lax.while_loop(cond, make_body(cache_len), state)
         if cache_len < phase_lens[-1]:
             next_len = min(cache_len * 2, buf_len)
+
+            def grow(entry, n=next_len - cache_len):
+                pad3 = ((0, 0), (0, 0), (0, n), (0, 0))
+                if isinstance(entry, tuple):  # int8 (values, scales)
+                    vals, scales = entry
+                    return (
+                        jnp.pad(vals, pad3),
+                        jnp.pad(scales, pad3, constant_values=1.0),
+                    )
+                return jnp.pad(entry, pad3)
+
             grown = tuple(
-                (
-                    jnp.pad(k, ((0, 0), (0, 0), (0, next_len - cache_len),
-                                (0, 0))),
-                    jnp.pad(v, ((0, 0), (0, 0), (0, next_len - cache_len),
-                                (0, 0))),
-                )
-                for k, v in state.cache
+                (grow(k), grow(v)) for k, v in state.cache
             )
             state = state._replace(cache=grown)
 

@@ -109,6 +109,12 @@ class Music2MIDI:
         self.decode_max_length = decode_max_length
         self.suppress_tokens: tuple = ()  # e.g. (eos,) for length-forced
         # benchmarking; applied inside the decode loop
+        # int8 KV caches (self + cross) in the decode loop: the decode
+        # step is bandwidth-bound on the cache reads, int8 halves them
+        # (see decode.py DecodeConfig).  Default: on in serving mode
+        # (non-fp32 dtype), off in the fp32 bit-parity mode.  Set to
+        # True/False to override.
+        self.int8_kv: Optional[bool] = None
         # sampling decode variants (BASELINE config 3): 0.0 => greedy
         # (the parity mode); set temperature/top_k for stochastic covers
         self.temperature: float = 0.0
@@ -176,12 +182,21 @@ class Music2MIDI:
 
     def _encode_wave(self, batch: np.ndarray) -> np.ndarray:
         """Waveform transport encoding: int16 in serving (bfloat16) mode —
-        lossless vs 16-bit source audio, halves the dominant host->device
-        upload; float32 in the bit-parity (float32) mode."""
+        lossless vs 16-bit source audio, halves the host->device upload;
+        float32 in the bit-parity (float32) mode.
+
+        The rounding uses the uint16-bias trick (add 32768.5, truncate,
+        flip the sign bit) instead of `np.round`, which profiled at up to
+        0.75 s of SERIAL host time per 8-song batch set under load — on
+        the dispatch critical path.  Truncation after a +0.5 bias is
+        round-half-up instead of np.round's half-even, which differs by
+        1 LSB only on exact .5 products (the device side just divides by
+        32768 either way)."""
         if self.t5_config.dtype == jnp.bfloat16:
-            return np.clip(
-                np.round(batch * 32768.0), -32768, 32767
-            ).astype(np.int16)
+            y = batch * 32768.0
+            np.clip(y, -32768.0, 32767.0, out=y)
+            y += 32768.5
+            return (y.astype(np.uint16) ^ np.uint16(0x8000)).view(np.int16)
         return batch
 
     def _put(self, x):
@@ -212,6 +227,19 @@ class Music2MIDI:
             return None
         return jax.random.fold_in(
             jax.random.PRNGKey(self.sample_seed), batch_start
+        )
+
+    def _dcfg(self) -> DecodeConfig:
+        int8 = self.int8_kv
+        if int8 is None:
+            int8 = self.t5_config.dtype != jnp.float32
+        return DecodeConfig(
+            max_length=self.decode_max_length,
+            temperature=self.temperature,
+            top_k=self.top_k,
+            suppress_tokens=self.suppress_tokens,
+            quantize_cross_kv=bool(int8),
+            quantize_self_kv=bool(int8),
         )
 
     def _bucket(self, n: int) -> int:
@@ -309,12 +337,7 @@ class Music2MIDI:
             cond = np.zeros((self.num_conditioning,), dtype=np.int32)
         else:
             cond = np.asarray(cond_index, dtype=np.int32)
-        dcfg = DecodeConfig(
-            max_length=self.decode_max_length,
-            temperature=self.temperature,
-            top_k=self.top_k,
-            suppress_tokens=self.suppress_tokens,
-        )
+        dcfg = self._dcfg()
         for start in range(0, len(chunks), max_bs):
             batch = chunks[start:start + max_bs]
             n = len(batch)
@@ -379,12 +402,7 @@ class Music2MIDI:
             cond_indices = [None] * n_songs
 
         max_bs = int(self.config.inference.batch_size)
-        dcfg = DecodeConfig(
-            max_length=self.decode_max_length,
-            temperature=self.temperature,
-            top_k=self.top_k,
-            suppress_tokens=self.suppress_tokens,
-        )
+        dcfg = self._dcfg()
         pending = []
         buf_chunks: List[np.ndarray] = []  # pending (<=max_bs) chunk rows
         buf_cond: List[np.ndarray] = []

@@ -409,11 +409,23 @@ def precompute_cross_kv(
     """Per-layer cross-attention K/V from encoder output, computed once per
     generation (HF recomputes per step unless cached; here it is explicit).
 
+    The key length is PADDED to a multiple of 128 (the TPU lane width):
+    the encoder length for a 3-s chunk is 190 (188 mel frames + 2
+    conditioning vectors), and a 190-lane attention read runs ~2x slower
+    than a 256-lane one (measured 1027 -> 544 us/step for the 6-layer
+    cross pass).  Pad columns are masked to -1e9 before softmax, which
+    underflows to exactly 0 probability — bit-identical outputs.  Use
+    `cross_attention_mask` for the matching mask.
+
     quantize=True stores int8 values + per-position fp32 scales: the decode
-    loop re-reads the full cross-KV every step (2.3 MB/token, the measured
-    bandwidth floor), so halving its bytes attacks the floor directly.
-    Dequantization happens in the step and is fused into the attention
-    matmuls by XLA.  Serving-mode only (not bit-parity)."""
+    loop re-reads the full cross-KV every step — the decode bandwidth
+    floor — and the in-loop attention ops are bandwidth-bound (measured
+    565 -> 284 us/step for 6 layers at L=256 with int8 operands), so
+    halving the bytes halves the floor.  The scales fold into the
+    score/prob vectors after the int8-operand matmuls (exact algebra, see
+    _cross_attention_int8).  Serving-mode only (not bit-parity)."""
+    L = encoder_hidden.shape[1]
+    pad = (-L) % 128
     out = []
     for layer in params["decoder"]["layers"]:
         ca = layer["cross_attn"]
@@ -423,11 +435,35 @@ def precompute_cross_kv(
         v = _split_heads(
             _proj(encoder_hidden, ca["v"], cfg.dtype), cfg.num_heads, cfg.d_kv
         )
+        if pad:
+            k = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
+            v = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
         if quantize:
             out.append((_quantize_kv(k), _quantize_kv(v)))
         else:
             out.append((k, v))
-    return out
+    return CrossKV(layers=out, mask=cross_attention_mask(L))
+
+
+class CrossKV(NamedTuple):
+    """Lane-padded per-layer cross-attention K/V plus the pad mask.
+
+    `decode_step` unpacks this transparently, so callers just pass the
+    `precompute_cross_kv` result through.  A plain list of (k, v) pairs
+    (no padding, no mask) is also still accepted."""
+    layers: list
+    mask: Optional[jax.Array]  # (1, 1, 1, Lp) bool, None if unpadded
+
+
+def cross_attention_mask(enc_len: int) -> Optional[jax.Array]:
+    """(1, 1, 1, Lp) bool mask for the lane-padded cross-KV: True on the
+    first `enc_len` columns.  None when no padding was needed."""
+    pad = (-enc_len) % 128
+    if pad == 0:
+        return None
+    return (
+        jnp.arange(enc_len + pad) < enc_len
+    )[None, None, None, :]
 
 
 def _quantize_kv(x: jax.Array):
@@ -445,26 +481,30 @@ def _dequantize_kv(entry, dtype) -> jax.Array:
     return entry
 
 
-def _cross_attention_int8(
+def _attention_int8(
     q: jax.Array,  # (B, H, 1, D)
     k_entry: tuple,  # (int8 (B,H,L,D), fp32 scales (B,H,L,1))
     v_entry: tuple,
+    bias: Optional[jax.Array],  # (B?, H, 1, L) additive, fp32
+    mask: Optional[jax.Array],  # broadcastable to (B,H,1,L), True=keep
     dtype,
 ) -> jax.Array:
-    """Decode-time cross attention reading int8 K/V WITHOUT materializing a
-    dequantized tensor.  Per-position scales commute with the dot products
-    exactly:
+    """Decode-time attention reading int8 K/V WITHOUT materializing a
+    dequantized tensor (used for both the cross-KV and the self-KV cache).
+    Per-position scales commute with the dot products exactly:
 
       score_j = q . (k8_j * ks_j)  =  ks_j * (q . k8_j)
       out     = sum_j p_j (v8_j * vs_j)  =  sum_j (p_j * vs_j) v8_j
 
     so the scales apply to the tiny (B,H,1,L) score/prob vectors after the
-    int8-operand matmuls, and the only per-step HBM traffic on the cross-KV
-    (the decode bandwidth floor, ~475 MB/step bf16 at B=128) is the int8
-    bytes.  The r1 `_dequantize_kv` path lost 1.36x because XLA
+    int8-operand matmuls, and the only per-step HBM traffic on the caches
+    (the decode bandwidth floor) is the int8 bytes — measured 565 -> 284
+    us/step for a 6-layer pass at B=128, L=256, confirming the loop is
+    bandwidth-bound.  The r1 `_dequantize_kv` path lost 1.36x because XLA
     materialized scale * k8 as a full bf16 tensor; the convert-only operand
-    here fuses into the dot.  Bit-exactness: matches dequantize-then-dot up
-    to dot-order rounding (int8 values are exact in bf16/fp32)."""
+    here fuses into the dot.  Bias/mask apply to the scaled scores, exactly
+    as in `attention`.  Bit-exactness: matches dequantize-then-dot up to
+    dot-order rounding (int8 values are exact in bf16/fp32)."""
     k8, k_scale = k_entry
     v8, v_scale = v_entry
     scores = jnp.einsum(
@@ -472,6 +512,10 @@ def _cross_attention_int8(
         preferred_element_type=jnp.float32,
     )
     scores = scores * jnp.swapaxes(k_scale, -1, -2)  # (B,H,1,L) fp32
+    if bias is not None:
+        scores = scores + bias.astype(jnp.float32)
+    if mask is not None:
+        scores = jnp.where(mask, scores, jnp.float32(-1e9))
     probs = jax.nn.softmax(scores, axis=-1)
     probs = (probs * jnp.swapaxes(v_scale, -1, -2)).astype(dtype)
     return jnp.einsum(
@@ -480,16 +524,29 @@ def _cross_attention_int8(
     ).astype(dtype)
 
 
+# back-compat alias (pre-r2 name, cross-attention only)
+def _cross_attention_int8(q, k_entry, v_entry, dtype):
+    return _attention_int8(q, k_entry, v_entry, None, None, dtype)
+
+
 def init_kv_cache(
-    batch: int, max_len: int, cfg: T5Config
+    batch: int, max_len: int, cfg: T5Config, quantize: bool = False
 ) -> list:
     """Preallocated self-attention KV cache: per layer (K, V) of shape
-    (B, H, max_len, d_kv)."""
+    (B, H, max_len, d_kv).
+
+    quantize=True stores each of K and V as (int8 values, fp32 per-position
+    scales (B, H, max_len, 1)) — every decode step re-reads the whole
+    cache, so int8 halves the dominant HBM traffic (serving mode only)."""
     shape = (batch, cfg.num_heads, max_len, cfg.d_kv)
-    return [
-        (jnp.zeros(shape, cfg.dtype), jnp.zeros(shape, cfg.dtype))
-        for _ in range(cfg.num_decoder_layers)
-    ]
+    sshape = (batch, cfg.num_heads, max_len, 1)
+
+    def one():
+        if quantize:
+            return (jnp.zeros(shape, jnp.int8), jnp.ones(sshape, jnp.float32))
+        return jnp.zeros(shape, cfg.dtype)
+
+    return [(one(), one()) for _ in range(cfg.num_decoder_layers)]
 
 
 def prepare_decode_params(params: Params, cfg: T5Config) -> Params:
@@ -534,6 +591,20 @@ def prepare_decode_params(params: Params, cfg: T5Config) -> Params:
     }
 
 
+def _dus_kv(entry, new: jax.Array, step: jax.Array):
+    """Write this step's (B, H, 1, D) K or V row into a cache entry —
+    either a plain dtype array or an int8 (values, scales) pair, in which
+    case `new` is quantized first (per-(B,H) scale for the single row)."""
+    if isinstance(entry, tuple):
+        vals, scales = entry
+        q8, s = _quantize_kv(new)
+        return (
+            jax.lax.dynamic_update_slice(vals, q8, (0, 0, step, 0)),
+            jax.lax.dynamic_update_slice(scales, s, (0, 0, step, 0)),
+        )
+    return jax.lax.dynamic_update_slice(entry, new, (0, 0, step, 0))
+
+
 def decode_step(
     dparams: Params,  # prepare_decode_params output
     token: jax.Array,  # (B,) current input token
@@ -542,16 +613,26 @@ def decode_step(
     cross_kv: list,
     cfg: T5Config,
     max_len: int,
+    cross_mask: Optional[jax.Array] = None,  # (1,1,1,Lp) for padded cross
 ) -> Tuple[jax.Array, list]:
     """One incremental decoder step -> (logits (B, vocab), new kv_cache).
 
-    The KV cache is written at `step`; attention masks keys > step.
+    The KV cache is written at `step`; attention masks keys > step.  Self
+    and cross caches may each be int8 (values, scales) pairs — the step
+    quantizes the new K/V row and attends through `_attention_int8`
+    (folded scales, halved HBM traffic).  `cross_mask` masks the
+    lane-padding columns of `precompute_cross_kv` (exact: -1e9 scores
+    underflow to 0 probability).
     Accepts either the full param tree (prepared on the fly — fine for
     eager/test use) or a prepare_decode_params tree (what generate_tokens
     passes so the prep happens once, outside the while_loop).
     """
     if "embedding" not in dparams:
         dparams = prepare_decode_params(dparams, cfg)
+    if isinstance(cross_kv, CrossKV):
+        if cross_mask is None:
+            cross_mask = cross_kv.mask
+        cross_kv = cross_kv.layers
     x = dparams["embedding"][token][:, None]  # (B, 1, d_model)
     key_pos = jnp.arange(max_len, dtype=jnp.int32)
     # causal visibility: keys at positions <= step
@@ -569,15 +650,15 @@ def decode_step(
             _split_heads(part, cfg.num_heads, cfg.d_kv)
             for part in jnp.split(qkv, 3, axis=-1)
         )
-        k_all, v_all = kv_cache[i]
-        k_all = jax.lax.dynamic_update_slice(
-            k_all, k_new, (0, 0, step, 0)
-        )
-        v_all = jax.lax.dynamic_update_slice(
-            v_all, v_new, (0, 0, step, 0)
-        )
+        k_all = _dus_kv(kv_cache[i][0], k_new, step)
+        v_all = _dus_kv(kv_cache[i][1], v_new, step)
         new_cache.append((k_all, v_all))
-        h = attention(q, k_all, v_all, bias_row, visible, cfg.dtype)
+        if isinstance(k_all, tuple):
+            h = _attention_int8(
+                q, k_all, v_all, bias_row, visible, cfg.dtype
+            )
+        else:
+            h = attention(q, k_all, v_all, bias_row, visible, cfg.dtype)
         h = _proj(_merge_heads(h), layer["sa_o"], cfg.dtype)
         x = x + h
         h = rms_norm(x, layer["ln2"], cfg.layer_norm_epsilon)
@@ -585,12 +666,14 @@ def decode_step(
             _proj(h, layer["ca_q"], cfg.dtype), cfg.num_heads, cfg.d_kv
         )
         if isinstance(cross_kv[i][0], tuple):
-            attn_out = _cross_attention_int8(
-                q, cross_kv[i][0], cross_kv[i][1], cfg.dtype
+            attn_out = _attention_int8(
+                q, cross_kv[i][0], cross_kv[i][1], None, cross_mask,
+                cfg.dtype,
             )
         else:
             attn_out = attention(
-                q, cross_kv[i][0], cross_kv[i][1], None, None, cfg.dtype
+                q, cross_kv[i][0], cross_kv[i][1], None, cross_mask,
+                cfg.dtype,
             )
         h = _proj(_merge_heads(attn_out), layer["ca_o"], cfg.dtype)
         x = x + h

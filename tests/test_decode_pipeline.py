@@ -263,6 +263,87 @@ def test_quantized_cross_kv(setup):
     assert rel < 0.01, rel
 
 
+def test_quantized_self_kv(setup):
+    """int8 SELF-KV cache: decode runs end to end through the phased
+    cache-growth path (growth must pad both the int8 values and the fp32
+    scale planes), and the exact-vs-folded-scale algebra matches."""
+    import jax
+    import jax.numpy as jnp
+
+    from music2midi_tpu.models.t5 import _attention_int8, _quantize_kv
+
+    params, cfg, enc = setup
+    b, _ = generate_tokens(
+        params, enc, cfg,
+        DecodeConfig(max_length=24, quantize_self_kv=True,
+                     quantize_cross_kv=True),
+    )
+    b = np.asarray(b)
+    assert b.shape == (3, 24) and (b[:, 0] == 1).all()
+
+    # folded-scale attention == dequantize-then-attend (fp32, exact modulo
+    # dot-order rounding; bias + mask applied identically)
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.normal(size=(2, 4, 1, 64)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(2, 4, 16, 64)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(2, 4, 16, 64)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(1, 4, 1, 16)).astype(np.float32))
+    mask = (jnp.arange(16) < 12)[None, None, None, :]
+    k8, v8 = _quantize_kv(k), _quantize_kv(v)
+    from music2midi_tpu.models.t5 import _dequantize_kv, attention
+
+    folded = np.asarray(_attention_int8(q, k8, v8, bias, mask, jnp.float32))
+    ref = np.asarray(attention(
+        q, _dequantize_kv(k8, jnp.float32), _dequantize_kv(v8, jnp.float32),
+        bias, mask, jnp.float32,
+    ))
+    np.testing.assert_allclose(folded, ref, atol=1e-4)
+
+
+def test_cross_kv_lane_padding_exact(setup):
+    """Lane-padded cross-KV (190 -> 256 columns + mask) must be
+    bit-identical to unpadded attention: -1e9 pad scores underflow to
+    exactly zero probability."""
+    import jax.numpy as jnp
+
+    from music2midi_tpu.models.t5 import CrossKV, precompute_cross_kv
+
+    params, cfg, enc = setup
+    ckv = precompute_cross_kv(params, enc, cfg)
+    assert isinstance(ckv, CrossKV)
+    Lp = ckv.layers[0][0].shape[2]
+    assert Lp % 128 == 0 and Lp >= enc.shape[1]
+    if ckv.mask is not None:
+        assert int(ckv.mask.sum()) == enc.shape[1]
+    # greedy tokens with padded entries+mask == manually unpadded entries
+    tok_pad, _ = generate_tokens(params, enc, cfg,
+                                 DecodeConfig(max_length=24))
+    unpadded = [
+        (k[:, :, :enc.shape[1], :], v[:, :, :enc.shape[1], :])
+        for k, v in ckv.layers
+    ]
+    from music2midi_tpu.models.t5 import (
+        init_kv_cache, decode_step, prepare_decode_params,
+    )
+
+    dparams = prepare_decode_params(params, cfg)
+    cache = init_kv_cache(enc.shape[0], 24, cfg)
+    cur = np.full((enc.shape[0],), cfg.decoder_start_token_id, np.int32)
+    done = np.zeros((enc.shape[0],), bool)
+    toks = [cur.copy()]
+    for t in range(23):
+        logits, cache = decode_step(
+            dparams, jnp.asarray(cur), jnp.int32(t), cache, unpadded,
+            cfg, 24,
+        )
+        cur = np.asarray(jnp.argmax(logits, axis=-1)).astype(np.int32)
+        cur = np.where(done, cfg.pad_token_id, cur).astype(np.int32)
+        done |= cur == cfg.eos_token_id
+        toks.append(cur.copy())
+    manual = np.stack(toks, axis=1)
+    np.testing.assert_array_equal(np.asarray(tok_pad), manual)
+
+
 def test_generate_batch_audio_paths_mode(engine, tmp_path):
     """audio_paths mode (threaded WAV decode overlapped with dispatch)
     produces identical results to the waveform mode."""
