@@ -385,21 +385,44 @@ class Music2MIDI:
         model_sr = int(self.config.model.sample_rate)
 
         if audio_paths is not None:
+            from collections import deque
             from concurrent.futures import ThreadPoolExecutor
 
             n_songs = len(audio_paths)
             pool = ThreadPoolExecutor(max_workers=4)
-            futures = [
-                pool.submit(audio.load, p, sr=model_sr)
-                for p in audio_paths
-            ]
-            wave_stream = (f.result()[0] for f in futures)
+
+            def _prefetched(paths, window=8):
+                # bounded look-ahead: decoded waveforms are ~11.5 MB per
+                # 3-min song, so submitting every load up front would
+                # buffer the whole set in host memory when decode
+                # outpaces dispatch
+                pending = deque()
+                it = iter(paths)
+                for p in it:
+                    pending.append(pool.submit(audio.load, p, sr=model_sr))
+                    if len(pending) >= window:
+                        break
+                while pending:
+                    f = pending.popleft()
+                    nxt = next(it, None)
+                    if nxt is not None:
+                        pending.append(
+                            pool.submit(audio.load, nxt, sr=model_sr)
+                        )
+                    yield f.result()[0]
+
+            wave_stream = _prefetched(audio_paths)
         else:
             pool = None
             n_songs = len(waveforms)
             wave_stream = iter(waveforms)
         if cond_indices is None:
             cond_indices = [None] * n_songs
+        elif len(cond_indices) != n_songs:
+            raise ValueError(
+                f"cond_indices has {len(cond_indices)} entries for "
+                f"{n_songs} songs"
+            )
 
         max_bs = int(self.config.inference.batch_size)
         dcfg = self._dcfg()

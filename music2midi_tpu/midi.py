@@ -215,16 +215,23 @@ class MidiFile:
     ) -> np.ndarray:
         """Sum of instrument rolls, padded to the longest (pretty_midi
         PrettyMIDI.get_piano_roll: per-instrument pedal + pitch-bend
-        processing happens before summation)."""
-        if not self.instruments:
-            return np.zeros((128, 0))
+        processing happens before summation).
+
+        With `times` given the result always has len(times) columns, even
+        when every instrument is empty — an untrained model emitting zero
+        notes must still produce a roll the evaluation/diff-plot consumers
+        can compare against a non-empty target (pretty_midi itself returns
+        (128, 0) here and crashes those consumers)."""
+        n_cols = 0 if times is None else len(times)
         rolls = [
             inst.get_piano_roll(
                 fs=fs, times=times, pedal_threshold=pedal_threshold
             )
             for inst in self.instruments
         ]
-        out = np.zeros((128, max(r.shape[1] for r in rolls)))
+        if rolls:
+            n_cols = max(n_cols, max(r.shape[1] for r in rolls))
+        out = np.zeros((128, n_cols))
         for r in rolls:
             out[:, : r.shape[1]] += r
         return out

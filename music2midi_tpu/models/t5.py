@@ -423,7 +423,7 @@ def precompute_cross_kv(
     565 -> 284 us/step for 6 layers at L=256 with int8 operands), so
     halving the bytes halves the floor.  The scales fold into the
     score/prob vectors after the int8-operand matmuls (exact algebra, see
-    _cross_attention_int8).  Serving-mode only (not bit-parity)."""
+    _attention_int8).  Serving-mode only (not bit-parity)."""
     L = encoder_hidden.shape[1]
     pad = (-L) % 128
     out = []
@@ -522,11 +522,6 @@ def _attention_int8(
         "bhqk,bhkd->bhqd", probs, v8.astype(dtype),
         preferred_element_type=jnp.float32,
     ).astype(dtype)
-
-
-# back-compat alias (pre-r2 name, cross-attention only)
-def _cross_attention_int8(q, k_entry, v_entry, dtype):
-    return _attention_int8(q, k_entry, v_entry, None, None, dtype)
 
 
 def init_kv_cache(

@@ -177,7 +177,7 @@ def log_mel_spectrogram_fast(
     log_mel_spectrogram (CLAUDE.md numerics contract)."""
     if (
         jax.default_backend() == "tpu"
-        and cfg.n_fft % 128 == 0
+        and cfg.n_fft % 256 == 0  # kernel needs an even 128-multiple
         and cfg.hop_length % 128 == 0
     ):
         from .mel_pallas import log_mel_spectrogram_pallas_fft

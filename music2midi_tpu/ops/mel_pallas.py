@@ -179,8 +179,13 @@ def log_mel_spectrogram_pallas_fft(
     wave = wave.astype(jnp.float32)
     B, S = wave.shape
     n_fft, hop = cfg.n_fft, cfg.hop_length
-    if n_fft % _N2 != 0 or hop % _N2 != 0:
-        raise ValueError("pallas fft mel kernel requires 128 | n_fft, hop")
+    if n_fft % (2 * _N2) != 0 or hop % _N2 != 0:
+        # n_fft must be an EVEN multiple of 128: the conjugate-mirror
+        # filterbank fold pairs k1 with n1-k1 and assumes n1 % 2 == 0
+        # (an odd n1 would leave the n1-1 family unfolded -> wrong mels)
+        raise ValueError(
+            "pallas fft mel kernel requires 256 | n_fft and 128 | hop"
+        )
     n1 = n_fft // _N2
     s_rows = hop // _N2  # frame stride in half-hop rows
     k1h = n1 // 2 + 1

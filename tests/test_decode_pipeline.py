@@ -371,3 +371,7 @@ def test_generate_batch_audio_paths_mode(engine, tmp_path):
         engine.generate_batch(songs, audio_paths=paths)
     with pytest.raises(ValueError):
         engine.generate_batch()
+    # cond_indices shorter than the song list must raise, not silently
+    # truncate the output (zip regression)
+    with pytest.raises(ValueError):
+        engine.generate_batch(songs, cond_indices=[[0, 0]])

@@ -74,3 +74,10 @@ def test_pallas_fft_rejects_bad_shape():
         log_mel_spectrogram_pallas_fft(
             np.zeros((1, 3000), np.float32), cfg, interpret=True
         )
+    # odd multiples of 128 break the conjugate-mirror filterbank fold —
+    # must be rejected, not silently wrong
+    cfg = LogMelConfig(n_fft=384, hop_length=128)
+    with pytest.raises(ValueError):
+        log_mel_spectrogram_pallas_fft(
+            np.zeros((1, 3000), np.float32), cfg, interpret=True
+        )

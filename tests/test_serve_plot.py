@@ -69,6 +69,20 @@ def test_plot_interactive_evaluation(tmp_path):
     assert 60 in by_class[0] and 64 in by_class[1] and 67 in by_class[2]
 
 
+def test_plot_evaluation_empty_output(tmp_path):
+    """An untrained model emitting zero notes must still produce a diff
+    roll (regression: the empty-instrument (128, 0) roll crashed the
+    target-vs-output comparison)."""
+    from music2midi_tpu.plot_midi import plot_midi_evaluation
+    from music2midi_tpu.plot_interactive import plot_midi_evaluation_html
+
+    target = numpy_to_midi(np.array([[0.0, 1.0, 60, 80]]))
+    empty = numpy_to_midi(np.zeros((0, 4)))
+    plot_midi_evaluation(target, empty, path=tmp_path / "e.png")
+    html = plot_midi_evaluation_html(target, empty)
+    assert "FN" in html
+
+
 def test_extract_melody():
     from music2midi_tpu.plot_midi import extract_melody_from_piano_roll
 
