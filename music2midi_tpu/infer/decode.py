@@ -182,9 +182,12 @@ def generate_tokens(
                 pad3 = ((0, 0), (0, 0), (0, n), (0, 0))
                 if isinstance(entry, tuple):  # int8 (values, scales)
                     vals, scales = entry
+                    # scales live in the (B, H, 1, L) score-row layout
                     return (
                         jnp.pad(vals, pad3),
-                        jnp.pad(scales, pad3, constant_values=1.0),
+                        jnp.pad(scales,
+                                ((0, 0), (0, 0), (0, 0), (0, n)),
+                                constant_values=1.0),
                     )
                 return jnp.pad(entry, pad3)
 

@@ -467,17 +467,24 @@ def cross_attention_mask(enc_len: int) -> Optional[jax.Array]:
 
 
 def _quantize_kv(x: jax.Array):
-    """(B, H, L, D) -> (int8 values, fp32 per-(B,H,L) scales)."""
+    """(B, H, L, D) -> (int8 values, fp32 scales laid out (B, H, 1, L)).
+
+    The scales are stored PRE-TRANSPOSED into the score-vector layout: the
+    decode loop multiplies them into (B, H, 1, L) score/prob rows every
+    step, and a (B, H, L, 1) layout puts one scale per 128-lane tile plus
+    a per-step transpose — 12 badly-tiled swapaxes per decode step."""
     amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
     scale = jnp.maximum(amax, 1e-8) / 127.0
     q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
-    return q.astype(jnp.int8), scale
+    return q.astype(jnp.int8), jnp.swapaxes(scale, -1, -2)
 
 
 def _dequantize_kv(entry, dtype) -> jax.Array:
     if isinstance(entry, tuple):
         q, scale = entry
-        return (q.astype(jnp.float32) * scale).astype(dtype)
+        return (
+            q.astype(jnp.float32) * jnp.swapaxes(scale, -1, -2)
+        ).astype(dtype)
     return entry
 
 
@@ -511,13 +518,13 @@ def _attention_int8(
         "bhqd,bhkd->bhqk", q, k8.astype(dtype),
         preferred_element_type=jnp.float32,
     )
-    scores = scores * jnp.swapaxes(k_scale, -1, -2)  # (B,H,1,L) fp32
+    scores = scores * k_scale  # scales pre-stored (B,H,1,L) fp32
     if bias is not None:
         scores = scores + bias.astype(jnp.float32)
     if mask is not None:
         scores = jnp.where(mask, scores, jnp.float32(-1e9))
     probs = jax.nn.softmax(scores, axis=-1)
-    probs = (probs * jnp.swapaxes(v_scale, -1, -2)).astype(dtype)
+    probs = (probs * v_scale).astype(dtype)
     return jnp.einsum(
         "bhqk,bhkd->bhqd", probs, v8.astype(dtype),
         preferred_element_type=jnp.float32,
@@ -534,7 +541,7 @@ def init_kv_cache(
     scales (B, H, max_len, 1)) — every decode step re-reads the whole
     cache, so int8 halves the dominant HBM traffic (serving mode only)."""
     shape = (batch, cfg.num_heads, max_len, cfg.d_kv)
-    sshape = (batch, cfg.num_heads, max_len, 1)
+    sshape = (batch, cfg.num_heads, 1, max_len)  # score-row layout
 
     def one():
         if quantize:
@@ -592,10 +599,10 @@ def _dus_kv(entry, new: jax.Array, step: jax.Array):
     case `new` is quantized first (per-(B,H) scale for the single row)."""
     if isinstance(entry, tuple):
         vals, scales = entry
-        q8, s = _quantize_kv(new)
+        q8, s = _quantize_kv(new)  # s: (B, H, 1, 1)
         return (
             jax.lax.dynamic_update_slice(vals, q8, (0, 0, step, 0)),
-            jax.lax.dynamic_update_slice(scales, s, (0, 0, step, 0)),
+            jax.lax.dynamic_update_slice(scales, s, (0, 0, 0, step)),
         )
     return jax.lax.dynamic_update_slice(entry, new, (0, 0, step, 0))
 
