@@ -232,6 +232,28 @@ def test_engine_sampling_mode(engine):
         engine.sample_seed = 0
 
 
+def test_serving_dcfg_defaults(engine):
+    """bf16 serving mode defaults to int8 KV caches; fp32 bit-parity mode
+    must not quantize; engine.int8_kv overrides both ways."""
+    import jax.numpy as jnp
+
+    from music2midi_tpu.infer import Music2MIDI
+
+    d = engine._dcfg()  # engine fixture is fp32
+    expect = engine.t5_config.dtype != jnp.float32
+    assert d.quantize_self_kv == expect and d.quantize_cross_kv == expect
+    engine.int8_kv = not expect
+    try:
+        d = engine._dcfg()
+        assert d.quantize_self_kv == (not expect)
+    finally:
+        engine.int8_kv = None
+    bf16 = Music2MIDI.from_random(seed=0, decode_max_length=8,
+                                  dtype=jnp.bfloat16)
+    d = bf16._dcfg()
+    assert d.quantize_self_kv and d.quantize_cross_kv
+
+
 def test_cond_index_from_names(engine):
     assert engine.cond_index_from_names(genre="pop",
                                         difficulty="beginner") == [1, 0]
