@@ -53,6 +53,11 @@ class DecodeConfig(NamedTuple):
     # was an artifact of a broken timing protocol (block_until_ready does
     # not force execution through the relay) plus the unpadded cross-KV
     # masking the bandwidth win.
+    pallas_attention: bool = False  # fused Pallas kernel for the int8
+    # attention blocks (ops/decode_attention.py).  EXPERIMENT, keep off:
+    # measured 514 us/call vs the XLA chain's 153 us (VMEM ceiling forces
+    # 4-row blocks; see the kernel docstring).  Requires quantize_*_kv
+    # and a TPU backend; silently ignored otherwise.
     unroll: int = 1  # decode steps per while-loop iteration (early-exit
     # check runs every `unroll` steps).  Real-world factor: trained
     # models early-exit at 30-150 tokens vs the 256 forced in bench.py.
@@ -113,6 +118,9 @@ def generate_tokens(
     cross_kv = precompute_cross_kv(
         params, encoder_hidden, cfg, quantize=dcfg.quantize_cross_kv
     )  # CrossKV: lane-padded entries + pad mask, unpacked by decode_step
+    use_pallas = bool(
+        dcfg.pallas_attention and jax.default_backend() == "tpu"
+    )
     # one-time decode weight prep: pre-cast to cfg.dtype + fused qkv/wi
     # (the while_loop then reads half the weight bytes per step)
     dparams = prepare_decode_params(params, cfg)
@@ -148,7 +156,8 @@ def generate_tokens(
             cache = list(cache)
             for _ in range(unroll):
                 logits, cache = decode_step(
-                    dparams, token, step, cache, cross_kv, cfg, cache_len
+                    dparams, token, step, cache, cross_kv, cfg, cache_len,
+                    use_pallas=use_pallas,
                 )
                 nxt, rng_ = _select_next(logits, rng_, dcfg)
                 nxt = jnp.where(done, cfg.pad_token_id, nxt)

@@ -442,7 +442,7 @@ def precompute_cross_kv(
             out.append((_quantize_kv(k), _quantize_kv(v)))
         else:
             out.append((k, v))
-    return CrossKV(layers=out, mask=cross_attention_mask(L))
+    return CrossKV(layers=out, mask=cross_attention_mask(L), enc_len=L)
 
 
 class CrossKV(NamedTuple):
@@ -450,9 +450,12 @@ class CrossKV(NamedTuple):
 
     `decode_step` unpacks this transparently, so callers just pass the
     `precompute_cross_kv` result through.  A plain list of (k, v) pairs
-    (no padding, no mask) is also still accepted."""
+    (no padding, no mask) is also still accepted.  `enc_len` is the true
+    (unpadded) key length — a static int while tracing, used by the fused
+    Pallas attention path."""
     layers: list
     mask: Optional[jax.Array]  # (1, 1, 1, Lp) bool, None if unpadded
+    enc_len: int = 0
 
 
 def cross_attention_mask(enc_len: int) -> Optional[jax.Array]:
@@ -593,13 +596,14 @@ def prepare_decode_params(params: Params, cfg: T5Config) -> Params:
     }
 
 
-def _dus_kv(entry, new: jax.Array, step: jax.Array):
+def _dus_kv(entry, new: jax.Array, step: jax.Array, new_q=None):
     """Write this step's (B, H, 1, D) K or V row into a cache entry —
     either a plain dtype array or an int8 (values, scales) pair, in which
-    case `new` is quantized first (per-(B,H) scale for the single row)."""
+    case the quantized row (`new_q`, computed once by the caller, or
+    quantized here) is written (per-(B,H) scale for the single row)."""
     if isinstance(entry, tuple):
         vals, scales = entry
-        q8, s = _quantize_kv(new)  # s: (B, H, 1, 1)
+        q8, s = new_q if new_q is not None else _quantize_kv(new)
         return (
             jax.lax.dynamic_update_slice(vals, q8, (0, 0, step, 0)),
             jax.lax.dynamic_update_slice(scales, s, (0, 0, 0, step)),
@@ -616,6 +620,7 @@ def decode_step(
     cfg: T5Config,
     max_len: int,
     cross_mask: Optional[jax.Array] = None,  # (1,1,1,Lp) for padded cross
+    use_pallas: bool = False,  # fused attention kernel for int8 caches
 ) -> Tuple[jax.Array, list]:
     """One incremental decoder step -> (logits (B, vocab), new kv_cache).
 
@@ -631,10 +636,16 @@ def decode_step(
     """
     if "embedding" not in dparams:
         dparams = prepare_decode_params(dparams, cfg)
+    enc_len = 0
     if isinstance(cross_kv, CrossKV):
         if cross_mask is None:
             cross_mask = cross_kv.mask
+        enc_len = cross_kv.enc_len
         cross_kv = cross_kv.layers
+    B = token.shape[0]
+    from ..ops.decode_attention import _B_BLK
+
+    pallas_ok = use_pallas and B % _B_BLK == 0
     x = dparams["embedding"][token][:, None]  # (B, 1, d_model)
     key_pos = jnp.arange(max_len, dtype=jnp.int32)
     # causal visibility: keys at positions <= step
@@ -652,13 +663,24 @@ def decode_step(
             _split_heads(part, cfg.num_heads, cfg.d_kv)
             for part in jnp.split(qkv, 3, axis=-1)
         )
-        k_all = _dus_kv(kv_cache[i][0], k_new, step)
-        v_all = _dus_kv(kv_cache[i][1], v_new, step)
+        quantized = isinstance(kv_cache[i][0], tuple)
+        k_newq = _quantize_kv(k_new) if quantized else None
+        v_newq = _quantize_kv(v_new) if quantized else None
+        k_all = _dus_kv(kv_cache[i][0], k_new, step, k_newq)
+        v_all = _dus_kv(kv_cache[i][1], v_new, step, v_newq)
         new_cache.append((k_all, v_all))
-        if isinstance(k_all, tuple):
-            h = _attention_int8(
-                q, k_all, v_all, bias_row, visible, cfg.dtype
-            )
+        if quantized:
+            if pallas_ok:
+                from ..ops.decode_attention import decode_attention_int8
+
+                h = decode_attention_int8(
+                    q, k_all, v_all, bias_row, step, k_newq, v_newq,
+                    causal=True,
+                )
+            else:
+                h = _attention_int8(
+                    q, k_all, v_all, bias_row, visible, cfg.dtype
+                )
         else:
             h = attention(q, k_all, v_all, bias_row, visible, cfg.dtype)
         h = _proj(_merge_heads(h), layer["sa_o"], cfg.dtype)
@@ -668,10 +690,19 @@ def decode_step(
             _proj(h, layer["ca_q"], cfg.dtype), cfg.num_heads, cfg.d_kv
         )
         if isinstance(cross_kv[i][0], tuple):
-            attn_out = _attention_int8(
-                q, cross_kv[i][0], cross_kv[i][1], None, cross_mask,
-                cfg.dtype,
-            )
+            if pallas_ok:
+                from ..ops.decode_attention import decode_attention_int8
+
+                attn_out = decode_attention_int8(
+                    q, cross_kv[i][0], cross_kv[i][1], None, None,
+                    None, None, causal=False,
+                    enc_len=enc_len or cross_kv[i][0][0].shape[2],
+                )
+            else:
+                attn_out = _attention_int8(
+                    q, cross_kv[i][0], cross_kv[i][1], None, cross_mask,
+                    cfg.dtype,
+                )
         else:
             attn_out = attention(
                 q, cross_kv[i][0], cross_kv[i][1], None, cross_mask,

@@ -1,0 +1,196 @@
+"""Fused Pallas decode-attention kernel (int8 KV, folded scales).
+
+STATUS: correct and parity-tested, but MEASURED SLOWER than the XLA path
+on the target stack — kept as a flag-gated experiment
+(DecodeConfig.pallas_attention, default OFF).  Honest in-loop numbers at
+B=128, H=8, L=256 (device_get protocol):
+
+    XLA _attention_int8 chain   153 us/call  (~100 us inside the real
+                                              decode program)
+    this kernel (B_BLK=4)       514 us/call
+    this kernel (B_BLK=8)       VMEM OOM (22 MB > 16 MB scoped limit)
+
+Why it loses: the (B_BLK, H, L, D) blocks decompose into (L, D=64) tiles
+that waste half of each 128-lane vector, the f32 temporaries force
+B_BLK=4 under the 16 MB VMEM ceiling, and XLA's own multiply-reduce
+fusion already streams the int8 cache well while fusing the scale/bias/
+mask chain for free.  End-to-end with all 12 blocks routed through the
+kernel the fused dispatch ran 1.60 s vs 0.43 s for the XLA int8 path
+(token agreement 99.9% both ways).  A future variant would need a
+two-heads-per-tile packing (D x 2 = 128 lanes) and bf16 products to fit
+larger blocks; on this stack the expected ceiling (~100 us/block) equals
+what XLA already achieves, so the work is parked.
+
+One kernel call replaces the ~10-op XLA chain of a single decode-step
+attention block (convert -> scores einsum -> scale fold -> bias -> mask ->
+softmax -> scale fold -> out einsum).
+
+Design notes (TPU):
+
+  * The kernel is PURE-READ over the caches: grid = (B / B_BLK,) batch
+    chunks, with Pallas auto-pipelining (double-buffering) the int8 cache
+    blocks through VMEM.  The cache write for the current position stays
+    in XLA (a cheap in-place dynamic_update_slice) — instead of reading
+    the just-written column back, the kernel receives this step's
+    quantized K/V row as separate tiny operands and patches the
+    `l == step` score and output contribution in-registers.  This avoids
+    input/output aliasing, manual DMA, and a write-ordering hazard with
+    the prefetched block of grid step 0.
+  * Self-attention variant: additive relative-position bias row + causal
+    mask (`l <= step`, `step` read from SMEM).  Cross variant: static
+    `enc_len` pad mask baked at trace time, no bias, no new-row patch.
+  * int8 cache values convert to f32 in-kernel; per-position scales stay
+    folded into the (B, H, L) score/prob rows exactly as in
+    models/t5.py:_attention_int8 (same algebra, same -1e9 masking).
+
+Shapes: K/V int8 (B, H, L, D), scales f32 (B, H, 1, L), q bf16
+(B, H, 1, D), bias f32 (H, L), out bf16 (B, H, D).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_B_BLK = 4  # batch rows per grid step (VMEM: ~2.5 MB of f32 temporaries
+# per int8 cache block at L=1024 with this choice)
+
+INTERPRET = False  # tests set True to run the kernel on CPU
+
+
+def _kernel(
+    step_ref,  # SMEM (1, 1) int32 — current position (self) or unused
+    k_ref,  # (B_BLK, H, L, D) int8
+    v_ref,  # (B_BLK, H, L, D) int8
+    ks_ref,  # (B_BLK, H, 1, L) f32
+    vs_ref,  # (B_BLK, H, 1, L) f32
+    q_ref,  # (B_BLK, H, 1, D) bf16
+    kn_ref,  # (B_BLK, H, 1, D) int8 — this step's quantized K row
+    vn_ref,  # (B_BLK, H, 1, D) int8
+    kns_ref,  # (B_BLK, H, 1, 1) f32 — its scale
+    vns_ref,  # (B_BLK, H, 1, 1) f32
+    bias_ref,  # (H, L) f32
+    out_ref,  # (B_BLK, H, D) bf16
+    *,
+    causal: bool,
+    enc_len: int,
+    L: int,
+):
+    qf = q_ref[...].astype(jnp.float32)  # (B_BLK, H, 1, D)
+    kf = k_ref[...].astype(jnp.float32)
+    scores = jnp.sum(kf * qf, axis=-1)  # (B_BLK, H, L)
+    scores = scores * ks_ref[...][:, :, 0, :]
+    l_pos = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 2)
+    if causal:
+        step = step_ref[0, 0]
+        # patch the current position: the cache column at `step` is stale
+        # (XLA writes it in parallel); recompute from the fresh row
+        knf = kn_ref[...].astype(jnp.float32)  # (B_BLK, H, 1, D)
+        s_new = jnp.sum(knf * qf, axis=-1) * kns_ref[...][:, :, 0, :]
+        scores = jnp.where(l_pos == step, s_new, scores)
+        scores = scores + bias_ref[...][None, :, :]
+        scores = jnp.where(l_pos <= step, scores, jnp.float32(-1e9))
+    elif enc_len < L:
+        scores = jnp.where(l_pos < enc_len, scores, jnp.float32(-1e9))
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)  # (B_BLK, H, L) f32
+    pv = p * vs_ref[...][:, :, 0, :]
+    if causal:
+        step = step_ref[0, 0]
+        p_new = jnp.sum(jnp.where(l_pos == step, p, 0.0), axis=-1)
+        pv = jnp.where(l_pos == step, 0.0, pv)
+    vf = v_ref[...].astype(jnp.float32)
+    out = jnp.sum(vf * pv[:, :, :, None], axis=2)  # (B_BLK, H, D)
+    if causal:
+        vnf = vn_ref[...][:, :, 0, :].astype(jnp.float32)
+        out = out + (p_new * vns_ref[...][:, :, 0, 0])[:, :, None] * vnf
+    out_ref[...] = out.astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("causal", "enc_len", "interpret"),
+)
+def decode_attention_int8(
+    q: jax.Array,  # (B, H, 1, D) dtype bf16/f32
+    k_entry,  # (int8 (B, H, L, D), f32 scales (B, H, 1, L))
+    v_entry,
+    bias,  # (1, H, 1, L) f32 or None (cross)
+    step,  # scalar int32 (self) or None (cross)
+    new_k,  # (int8 (B, H, 1, D), f32 (B, H, 1, 1)) or None (cross)
+    new_v,
+    causal: bool,
+    enc_len: int = 0,
+    interpret: bool = False,
+) -> jax.Array:
+    """-> attention output (B, H, 1, D) in q.dtype.
+
+    Drop-in for the decode-step attention blocks when the caches are int8
+    (models/t5.py:_attention_int8 semantics, with the current position
+    supplied via `new_k`/`new_v` instead of pre-written into the cache).
+    """
+    interpret = interpret or INTERPRET
+    k8, ks = k_entry
+    v8, vs = v_entry
+    B, H, L, D = k8.shape
+    if B % _B_BLK != 0:
+        raise ValueError(f"batch {B} not a multiple of {_B_BLK}")
+    if causal:
+        kn8, kns = new_k
+        vn8, vns = new_v
+        bias2d = bias.astype(jnp.float32).reshape(H, L)
+        step_arr = jnp.asarray(step, jnp.int32).reshape(1, 1)
+    else:
+        kn8 = jnp.zeros((B, H, 1, D), jnp.int8)
+        vn8 = kn8
+        kns = jnp.ones((B, H, 1, 1), jnp.float32)
+        vns = kns
+        bias2d = jnp.zeros((H, L), jnp.float32)
+        step_arr = jnp.zeros((1, 1), jnp.int32)
+
+    grid = (B // _B_BLK,)
+    bspec = lambda shape: pl.BlockSpec(  # noqa: E731
+        (_B_BLK,) + shape, lambda i: (i,) + (0,) * len(shape),
+        memory_space=pltpu.VMEM,
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel, causal=causal, enc_len=enc_len, L=L
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            bspec((H, L, D)),
+            bspec((H, L, D)),
+            bspec((H, 1, L)),
+            bspec((H, 1, L)),
+            bspec((H, 1, D)),
+            bspec((H, 1, D)),
+            bspec((H, 1, D)),
+            bspec((H, 1, 1)),
+            bspec((H, 1, 1)),
+            pl.BlockSpec((H, L), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (_B_BLK, H, D), lambda i: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, H, D), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * L * D,
+            bytes_accessed=2 * B * H * L * D + 8 * B * H * L,
+            transcendentals=B * H * L,
+        ),
+        interpret=interpret,
+    )(
+        step_arr, k8, v8, ks, vs,
+        q.astype(jnp.bfloat16), kn8, vn8, kns, vns, bias2d,
+    )
+    return out[:, :, None, :].astype(q.dtype)

@@ -1,0 +1,114 @@
+"""Fused Pallas decode-attention kernel vs the XLA int8 path (CPU
+interpreter)."""
+
+import numpy as np
+import pytest
+
+import music2midi_tpu.ops.decode_attention as da
+from music2midi_tpu.ops.decode_attention import decode_attention_int8
+
+
+@pytest.fixture(autouse=True)
+def _interpret():
+    da.INTERPRET = True
+    yield
+    da.INTERPRET = False
+
+
+def _setup(B=8, H=8, L=64, D=64, seed=0):
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+
+    def f(*s):
+        return jnp.asarray(rng.normal(size=s).astype(np.float32))
+
+    return f, jnp
+
+
+def test_self_attention_matches_xla_int8():
+    """Kernel (pre-write cache + fresh-row patch) == _attention_int8 over
+    the post-write cache, up to bf16 output rounding."""
+    from music2midi_tpu.models.t5 import _attention_int8, _quantize_kv
+
+    f, jnp = _setup()
+    B, H, L, D = 8, 8, 64, 64
+    q = f(B, H, 1, D).astype(jnp.bfloat16)
+    k, v = f(B, H, L, D), f(B, H, L, D)
+    k_new, v_new = f(B, H, 1, D), f(B, H, 1, D)
+    bias = f(1, H, 1, L)
+    for step in (0, 5, L - 1):
+        k_w = k.at[:, :, step:step + 1, :].set(k_new)
+        v_w = v.at[:, :, step:step + 1, :].set(v_new)
+        vis = (jnp.arange(L) <= step)[None, None, None, :]
+        ref = np.asarray(_attention_int8(
+            q, _quantize_kv(k_w), _quantize_kv(v_w), bias, vis,
+            jnp.bfloat16,
+        ), dtype=np.float32)
+        out = np.asarray(decode_attention_int8(
+            q, _quantize_kv(k), _quantize_kv(v), bias, jnp.int32(step),
+            _quantize_kv(k_new), _quantize_kv(v_new), causal=True,
+        ), dtype=np.float32)
+        np.testing.assert_allclose(out, ref, atol=0.05)
+
+
+def test_cross_attention_matches_xla_int8():
+    from music2midi_tpu.models.t5 import _attention_int8, _quantize_kv
+
+    f, jnp = _setup(seed=1)
+    B, H, L, D = 8, 8, 64, 64
+    q = f(B, H, 1, D).astype(jnp.bfloat16)
+    k, v = f(B, H, L, D), f(B, H, L, D)
+    for enc_len in (50, L):
+        mask = (jnp.arange(L) < enc_len)[None, None, None, :]
+        ref = np.asarray(_attention_int8(
+            q, _quantize_kv(k), _quantize_kv(v), None,
+            mask if enc_len < L else None, jnp.bfloat16,
+        ), dtype=np.float32)
+        out = np.asarray(decode_attention_int8(
+            q, _quantize_kv(k), _quantize_kv(v), None, None, None, None,
+            causal=False, enc_len=enc_len,
+        ), dtype=np.float32)
+        np.testing.assert_allclose(out, ref, atol=0.05)
+
+
+def test_decode_step_pallas_route_matches_xla():
+    """Full decode_step with use_pallas=True == the XLA int8 route
+    (greedy-token level over a short sequence)."""
+    import jax
+    import jax.numpy as jnp
+
+    from music2midi_tpu.config import default_config
+    from music2midi_tpu.models import init_params, t5_config_from
+    from music2midi_tpu.models.t5 import (
+        decode_step, init_kv_cache, precompute_cross_kv,
+        prepare_decode_params,
+    )
+
+    cfg = t5_config_from(default_config(), dtype=jnp.bfloat16)
+    cfg = cfg._replace(num_layers=2, num_decoder_layers=2)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(2)
+    enc = jnp.asarray(
+        rng.normal(size=(4, 19, cfg.d_model)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    ckv = precompute_cross_kv(params, enc, cfg, quantize=True)
+    dparams = prepare_decode_params(params, cfg)
+    max_len = 8
+    toks = {}
+    for use_pallas in (False, True):
+        cache = init_kv_cache(4, max_len, cfg, quantize=True)
+        cur = np.full((4,), cfg.decoder_start_token_id, np.int32)
+        out = [cur.copy()]
+        for t in range(max_len - 1):
+            logits, cache = decode_step(
+                dparams, jnp.asarray(cur), jnp.int32(t), cache, ckv,
+                cfg, max_len, use_pallas=use_pallas,
+            )
+            cur = np.asarray(jnp.argmax(logits, -1)).astype(np.int32)
+            out.append(cur.copy())
+        toks[use_pallas] = np.stack(out, axis=1)
+    # bf16 rounding differences may flip near-tie argmaxes with random
+    # weights; require high agreement rather than exact equality
+    agree = (toks[True] == toks[False]).mean()
+    assert agree > 0.9, agree
