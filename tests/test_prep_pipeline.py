@@ -1,0 +1,145 @@
+"""End-to-end offline data-prep pipeline over a synthetic data dir.
+
+Drives the four prep CLIs IN ORDER exactly as dataset.md prescribes
+(reference dataset.md:1-22; download_youtube is unexercisable offline):
+
+    align_audio_midi -> midi_to_numpy -> compute_metrics -> generate_split
+
+on a tiny two-song dataset where the "song audio" is the MIDI synthesized
+with a linear tempo warp — so alignment has real work to do and every
+artifact (warp path, aligned MIDI, numpy notes, metrics, split) can be
+checked for shape and sanity.
+"""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+import yaml
+
+from music2midi_tpu.audio import write_wav
+from music2midi_tpu.midi import MidiFile
+from music2midi_tpu.utils import numpy_to_midi
+
+SR = 22050
+
+
+def _song_notes(seed: int, n: int = 24, dur: float = 12.0) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    on = np.sort(rng.uniform(0, dur - 1.0, n))
+    length = rng.uniform(0.3, 0.9, n)
+    pitch = rng.integers(48, 84, n)
+    vel = rng.integers(60, 100, n)
+    return np.stack([on, on + length, pitch, vel], axis=1)
+
+
+N_SONGS = 4  # generate_split needs >= 3 survivors
+
+
+def _two_track_midi(notes: np.ndarray) -> MidiFile:
+    """The reference keeps only 2-track MIDIs (generate_split.py filter):
+    melody in track 0, a simple bass line in track 1."""
+    from music2midi_tpu.midi import Instrument, Note
+
+    midi = numpy_to_midi(notes)
+    bass = Instrument(program=0, name="bass")
+    for on in np.arange(0.0, notes[:, 1].max(), 2.0):
+        bass.notes.append(
+            Note(start=float(on), end=float(on + 1.0), pitch=36,
+                 velocity=70)
+        )
+    midi.instruments.append(bass)
+    return midi
+
+
+@pytest.fixture(scope="module")
+def prep_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("prep")
+    (d / "audio").mkdir()
+    (d / "midi").mkdir()
+    (d / "metadata").mkdir()
+    for i in range(N_SONGS):
+        pid = f"song{i}"
+        notes = _song_notes(seed=10 + i)
+        midi = _two_track_midi(notes)
+        midi.write(d / "midi" / f"{pid}.mid")
+        # the "real" song: same MIDI but 8% slower -> warped timing
+        warped = notes.copy()
+        warped[:, :2] *= 1.08
+        y = _two_track_midi(warped).synthesize(fs=SR).astype(np.float32)
+        peak = np.abs(y).max()
+        if peak > 0:
+            y = 0.7 * y / peak
+        write_wav(d / "audio" / f"{pid}.wav", y, SR)
+        with open(d / "metadata" / f"{pid}.yaml", "w") as f:
+            yaml.safe_dump(
+                {
+                    "piano": {
+                        "id": pid,
+                        "genre": "pop",
+                        "difficulty": "beginner",
+                    },
+                },
+                f,
+            )
+    return d
+
+
+def _run(module_name: str, argv, monkeypatch):
+    import importlib
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "data"))
+    try:
+        mod = importlib.import_module(module_name)
+        monkeypatch.setattr(sys, "argv", argv)
+        mod.main()
+    finally:
+        sys.path.pop(0)
+
+
+def test_prep_pipeline_end_to_end(prep_dir, monkeypatch):
+    cfg = str(Path(__file__).resolve().parent.parent / "config.yaml")
+    d = str(prep_dir)
+
+    _run("align_audio_midi", ["align_audio_midi.py", d, "--config", cfg,
+                              "--workers", "2"], monkeypatch)
+    for pid in ("song0", "song1", "song2", "song3"):
+        wp = np.load(prep_dir / "warp_path" / f"{pid}.npy")
+        assert wp.shape[0] == 2 and wp.shape[1] > 10
+        aligned = MidiFile(prep_dir / "midi_aligned" / f"{pid}.mid")
+        assert len(aligned.instruments[0].notes) > 0
+        meta = yaml.safe_load(open(prep_dir / "metadata" / f"{pid}.yaml"))
+        assert meta["metrics"]["opt_chroma_shift"] == 0
+        # aligned onsets should land near the warped (1.08x) times
+        orig = MidiFile(prep_dir / "midi" / f"{pid}.mid")
+        o0 = orig.instruments[0].notes[0].start
+        a0 = aligned.instruments[0].notes[0].start
+        assert abs(a0 - 1.08 * o0) < 0.35, (o0, a0)
+
+    _run("midi_to_numpy", ["midi_to_numpy.py", d, "--workers", "2"],
+         monkeypatch)
+    for pid in ("song0", "song1", "song2", "song3"):
+        arr = np.load(prep_dir / "midi_numpy" / f"{pid}.npy")
+        assert arr.ndim == 2 and arr.shape[1] == 4
+        assert (arr[:, 1] >= arr[:, 0]).all()
+
+    # metrics.csv goes to the CURRENT directory (reference parity quirk:
+    # /root/reference/data/compute_metrics.py:108 does the same)
+    monkeypatch.chdir(prep_dir)
+    _run("compute_metrics", ["compute_metrics.py", d, "--config", cfg],
+         monkeypatch)
+    assert (prep_dir / "metrics.csv").exists()
+    meta = yaml.safe_load(open(prep_dir / "metadata" / "song0.yaml"))
+    for key in ("wp_std", "max_beat_fluctuation", "max_note_density",
+                "time_diff_ratio"):
+        assert key in meta["metrics"], meta["metrics"]
+
+    _run("generate_split", ["generate_split.py", d, "--config", cfg],
+         monkeypatch)
+    split = np.load(prep_dir / "dataset_split.npz", allow_pickle=True)
+    assert len(split["train_id"]) >= 1
+    ids = set(np.concatenate(
+        [split["train_id"], split["val_id"], split["test_id"]]
+    ).tolist())
+    assert ids <= {f"song{i}" for i in range(N_SONGS)} and len(ids) >= 3
