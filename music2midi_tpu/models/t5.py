@@ -493,7 +493,7 @@ def _dequantize_kv(entry, dtype) -> jax.Array:
 
 def _attention_int8(
     q: jax.Array,  # (B, H, 1, D)
-    k_entry: tuple,  # (int8 (B,H,L,D), fp32 scales (B,H,L,1))
+    k_entry: tuple,  # (int8 (B,H,L,D), fp32 scales (B,H,1,L))
     v_entry: tuple,
     bias: Optional[jax.Array],  # (B?, H, 1, L) additive, fp32
     mask: Optional[jax.Array],  # broadcastable to (B,H,1,L), True=keep
@@ -541,8 +541,9 @@ def init_kv_cache(
     (B, H, max_len, d_kv).
 
     quantize=True stores each of K and V as (int8 values, fp32 per-position
-    scales (B, H, max_len, 1)) — every decode step re-reads the whole
-    cache, so int8 halves the dominant HBM traffic (serving mode only)."""
+    scales in the (B, H, 1, max_len) score-row layout) — every decode step
+    re-reads the whole cache, so int8 halves the dominant HBM traffic
+    (serving mode only)."""
     shape = (batch, cfg.num_heads, max_len, cfg.d_kv)
     sshape = (batch, cfg.num_heads, 1, max_len)  # score-row layout
 
@@ -642,10 +643,16 @@ def decode_step(
             cross_mask = cross_kv.mask
         enc_len = cross_kv.enc_len
         cross_kv = cross_kv.layers
-    B = token.shape[0]
-    from ..ops.decode_attention import _B_BLK
+    pallas_ok = False
+    if use_pallas:
+        from ..ops.decode_attention import _B_BLK
 
-    pallas_ok = use_pallas and B % _B_BLK == 0
+        # the kernel derives the cross pad mask from enc_len, so a
+        # legacy plain-list cross_kv (enc_len unknown) may only take the
+        # kernel path when there is no pad mask to honor
+        pallas_ok = token.shape[0] % _B_BLK == 0 and (
+            enc_len > 0 or cross_mask is None
+        )
     x = dparams["embedding"][token][:, None]  # (B, 1, d_model)
     key_pos = jnp.arange(max_len, dtype=jnp.int32)
     # causal visibility: keys at positions <= step
@@ -673,9 +680,12 @@ def decode_step(
             if pallas_ok:
                 from ..ops.decode_attention import decode_attention_int8
 
+                # pre-write cache by design: the kernel patches the
+                # l == step contribution from the fresh rows, so its
+                # reads need not wait for the cache DUS above
                 h = decode_attention_int8(
-                    q, k_all, v_all, bias_row, step, k_newq, v_newq,
-                    causal=True,
+                    q, kv_cache[i][0], kv_cache[i][1], bias_row, step,
+                    k_newq, v_newq, causal=True,
                 )
             else:
                 h = _attention_int8(

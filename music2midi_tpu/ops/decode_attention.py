@@ -138,6 +138,8 @@ def decode_attention_int8(
     k8, ks = k_entry
     v8, vs = v_entry
     B, H, L, D = k8.shape
+    if not causal and enc_len <= 0:
+        enc_len = L  # no pad mask (a 0 default would mask EVERY key)
     if B % _B_BLK != 0:
         raise ValueError(f"batch {B} not a multiple of {_B_BLK}")
     if causal:

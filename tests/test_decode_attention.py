@@ -95,20 +95,24 @@ def test_decode_step_pallas_route_matches_xla():
     ckv = precompute_cross_kv(params, enc, cfg, quantize=True)
     dparams = prepare_decode_params(params, cfg)
     max_len = 8
-    toks = {}
+    # teacher-forced: both routes see the SAME token stream, so per-step
+    # logits are directly comparable (no argmax cascade); require every
+    # step's logits to be close, not just token agreement
+    forced = rng.integers(3, cfg.vocab_size, size=(4, max_len)).astype(
+        np.int32
+    )
+    forced[:, 0] = cfg.decoder_start_token_id
+    logits = {}
     for use_pallas in (False, True):
         cache = init_kv_cache(4, max_len, cfg, quantize=True)
-        cur = np.full((4,), cfg.decoder_start_token_id, np.int32)
-        out = [cur.copy()]
+        per_step = []
         for t in range(max_len - 1):
-            logits, cache = decode_step(
-                dparams, jnp.asarray(cur), jnp.int32(t), cache, ckv,
-                cfg, max_len, use_pallas=use_pallas,
+            step_logits, cache = decode_step(
+                dparams, jnp.asarray(forced[:, t]), jnp.int32(t), cache,
+                ckv, cfg, max_len, use_pallas=use_pallas,
             )
-            cur = np.asarray(jnp.argmax(logits, -1)).astype(np.int32)
-            out.append(cur.copy())
-        toks[use_pallas] = np.stack(out, axis=1)
-    # bf16 rounding differences may flip near-tie argmaxes with random
-    # weights; require high agreement rather than exact equality
-    agree = (toks[True] == toks[False]).mean()
-    assert agree > 0.9, agree
+            per_step.append(np.asarray(step_logits, dtype=np.float32))
+        logits[use_pallas] = np.stack(per_step)
+    scale = np.abs(logits[False]).max()
+    err = np.abs(logits[True] - logits[False]).max()
+    assert err <= 0.02 * max(scale, 1.0), (err, scale)
