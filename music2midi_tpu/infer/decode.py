@@ -124,6 +124,20 @@ def generate_tokens(
     # one-time decode weight prep: pre-cast to cfg.dtype + fused qkv/wi
     # (the while_loop then reads half the weight bytes per step)
     dparams = prepare_decode_params(params, cfg)
+    # precompute the relative-position bias for every (step, key) pair —
+    # ~12 XLA bucket-math ops per step otherwise, and per-op issue
+    # overhead is real on this stack (PERFORMANCE.md)
+    from ..models.t5 import position_bias
+
+    all_pos = jnp.arange(buf_len, dtype=jnp.int32)
+    bias_table = jnp.transpose(
+        position_bias(
+            dparams["rel_bias"], all_pos, all_pos, False,
+            cfg.relative_attention_num_buckets,
+            cfg.relative_attention_max_distance,
+        ),
+        (1, 0, 2),
+    )  # (Q, H, K)
 
     # phased cache growth: decode is self-KV-bandwidth bound (every step
     # reads the whole padded cache), and trained models typically finish in
@@ -157,7 +171,7 @@ def generate_tokens(
             for _ in range(unroll):
                 logits, cache = decode_step(
                     dparams, token, step, cache, cross_kv, cfg, cache_len,
-                    use_pallas=use_pallas,
+                    use_pallas=use_pallas, bias_table=bias_table,
                 )
                 nxt, rng_ = _select_next(logits, rng_, dcfg)
                 nxt = jnp.where(done, cfg.pad_token_id, nxt)

@@ -622,6 +622,9 @@ def decode_step(
     max_len: int,
     cross_mask: Optional[jax.Array] = None,  # (1,1,1,Lp) for padded cross
     use_pallas: bool = False,  # fused attention kernel for int8 caches
+    bias_table: Optional[jax.Array] = None,  # (Q, H, K) precomputed
+    # position_bias for every step (generate_tokens builds it once per
+    # generation; the per-step bucket math is ~12 XLA ops otherwise)
 ) -> Tuple[jax.Array, list]:
     """One incremental decoder step -> (logits (B, vocab), new kv_cache).
 
@@ -657,11 +660,16 @@ def decode_step(
     key_pos = jnp.arange(max_len, dtype=jnp.int32)
     # causal visibility: keys at positions <= step
     visible = (key_pos <= step)[None, None, None, :]  # (1,1,1,K)
-    bias_row = position_bias(
-        dparams["rel_bias"], step[None], key_pos, False,
-        cfg.relative_attention_num_buckets,
-        cfg.relative_attention_max_distance,
-    )[None]  # (1, H, 1, K)
+    if bias_table is not None:
+        bias_row = jax.lax.dynamic_slice_in_dim(
+            bias_table, step, 1, axis=0
+        )[:, :, :max_len].transpose(1, 0, 2)[None]  # (1, H, 1, K)
+    else:
+        bias_row = position_bias(
+            dparams["rel_bias"], step[None], key_pos, False,
+            cfg.relative_attention_num_buckets,
+            cfg.relative_attention_max_distance,
+        )[None]  # (1, H, 1, K)
     new_cache = []
     for i, layer in enumerate(dparams["layers"]):
         h = rms_norm(x, layer["ln1"], cfg.layer_norm_epsilon)
