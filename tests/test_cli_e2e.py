@@ -121,6 +121,27 @@ def test_train_cli(mini_dataset, tmp_path, monkeypatch):
     assert "train/loss" in log and "train/score" in log
 
 
+def test_train_cli_bf16(mini_dataset, tmp_path, monkeypatch):
+    """Mixed-precision training: bf16 compute, fp32 params/opt state."""
+    import json
+
+    root, cfg_path = mini_dataset
+    monkeypatch.setattr(
+        sys, "argv",
+        ["train.py", str(root), "--config", str(cfg_path), "--name", "b",
+         "--out_dir", str(tmp_path / "runs"), "--max_steps", "2",
+         "--dtype", "bfloat16"],
+    )
+    sys.path.insert(0, "/root/repo")
+    import train as train_cli
+
+    train_cli.main()
+    log = (tmp_path / "runs" / "b" / "log.jsonl").read_text()
+    losses = [json.loads(line)["train/loss"]
+              for line in log.splitlines() if "train/loss" in line]
+    assert losses and all(np.isfinite(losses))
+
+
 def test_train_resume(mini_dataset, tmp_path, monkeypatch):
     root, cfg_path = mini_dataset
     out = tmp_path / "runs2"

@@ -52,6 +52,15 @@ def parse_args():
     parser.add_argument("--eval_in_train", action="store_true",
                         help="chroma score on train batches every "
                              "log_every_n_steps (reference behavior)")
+    parser.add_argument(
+        "--dtype", type=str, default="float32",
+        choices=["float32", "bfloat16"],
+        help="model compute dtype.  bfloat16 = mixed precision: matmuls "
+             "and activations in bf16, parameters / gradients / Adafactor "
+             "state and layer-norm + loss math stay fp32 (master weights "
+             "fall out of the cast-per-op design).  float32 is the "
+             "reference-parity configuration",
+    )
     return parser.parse_args()
 
 
@@ -95,6 +104,7 @@ def main():
     maybe_initialize_distributed()
 
     import jax
+    import jax.numpy as jnp
 
     from music2midi_tpu.config import load_config
     from music2midi_tpu.data import DataLoader, Music2MIDIDataset
@@ -128,7 +138,11 @@ def main():
         num_workers=int(dl_cfg.num_workers), shuffle=False, seed=args.seed,
     )
 
-    t5_cfg = t5_config_from(config)
+    t5_cfg = t5_config_from(
+        config,
+        dtype={"float32": jnp.float32,
+               "bfloat16": jnp.bfloat16}[args.dtype],
+    )
     mel_cfg = log_mel_config_from(config)
     tokenizer = MidiTokenizer(config)
     num_cond = tuple(len(v) for v in config.conditioning.values())
