@@ -116,7 +116,10 @@ def webui_server(tmp_path_factory):
     from http.server import ThreadingHTTPServer
     from music2midi_tpu.infer import Music2MIDI
 
+    from music2midi_tpu.serve.batcher import DynamicBatcher
+
     webui.engine = Music2MIDI.from_random(seed=0, decode_max_length=16)
+    webui.batcher = DynamicBatcher(webui.engine)  # production wiring
     cwd = tmp_path_factory.mktemp("webui")
     (cwd / "static" / "uploads").mkdir(parents=True)
     old = os.getcwd()
@@ -130,6 +133,8 @@ def webui_server(tmp_path_factory):
     thread.start()
     yield f"http://127.0.0.1:{port}"
     server.shutdown()
+    webui.batcher.close()
+    webui.batcher = None
     os.chdir(old)
 
 

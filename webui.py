@@ -32,6 +32,8 @@ TEMPLATE_DIR = Path(__file__).resolve().parent / "templates"
 STATIC_DIR = Path(__file__).resolve().parent / "static"
 
 engine = None  # set in main()
+batcher = None  # DynamicBatcher when serving (main()); concurrent
+# /generate requests coalesce into one device batch
 
 
 def render(template: str, **ctx) -> bytes:
@@ -120,7 +122,10 @@ def generate_result(url: str, upload):
             print("Downloading video from", url)
             download_video(url, video_path)
         print("Generating result")
-        midi_data = engine.generate(audio_path=video_path)
+        if batcher is not None:
+            midi_data = batcher.submit(audio_path=video_path).result()
+        else:
+            midi_data = engine.generate(audio_path=video_path)
         midi_data.write(midi_path)
         print("MIDI written to", midi_path)
         _write_roll(midi_data, result_dir)
@@ -210,7 +215,7 @@ class Handler(BaseHTTPRequestHandler):
 
 
 def main():
-    global engine
+    global engine, batcher
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--ckpt", type=str, default=None,
                         help="model checkpoint (orbax dir or torch .ckpt)")
@@ -226,6 +231,9 @@ def main():
     from evaluate import load_engine
 
     engine = load_engine(args.ckpt, args.config, args.dtype)
+    from music2midi_tpu.serve.batcher import DynamicBatcher
+
+    batcher = DynamicBatcher(engine)
     print("Model loaded successfully")
     server = ThreadingHTTPServer(("0.0.0.0", args.port), Handler)
     print(f"Serving on http://localhost:{args.port}")
