@@ -249,6 +249,29 @@ class Music2MIDI:
             b = -(-b // self._dp) * self._dp
         return b
 
+    def warmup(self, buckets: Optional[Sequence[int]] = None) -> None:
+        """Pre-compile every inference program a serving process will hit
+        (one fused program per chunk-bucket size x {generate,
+        generate_batch} path).  First-compile latency on a cold remote
+        compiler is 20-100 s per program — paying it at server start
+        instead of on the first user request.  With the persistent
+        compilation cache (enable_compilation_cache) later processes warm
+        from disk in seconds."""
+        max_bs = int(self.config.inference.batch_size)
+        if buckets is None:
+            buckets = [b for b in _BUCKET_SIZES if b <= max_bs]
+            buckets = [self._bucket(b) for b in buckets] or [max_bs]
+        split = int(
+            self.config.model.sample_rate
+            * float(self.config.dataset.segment_duration)
+        )
+        for b in sorted(set(buckets)):
+            silent = np.zeros(b * split, dtype=np.float32)
+            # both dispatch paths: the fused detokenizing batch program
+            # and the token-level program generate() uses
+            self.generate_batch([silent])
+            self.generate(audio_y=silent)
+
     # ------------------------------------------------------------------ #
     # inference                                                           #
     # ------------------------------------------------------------------ #

@@ -254,6 +254,14 @@ def test_serving_dcfg_defaults(engine):
     assert d.quantize_self_kv and d.quantize_cross_kv
 
 
+def test_warmup_compiles_buckets(engine):
+    """warmup() runs both dispatch paths for each requested bucket and
+    leaves the engine fully usable."""
+    engine.warmup(buckets=[8])
+    m = engine.generate(audio_y=np.zeros(16000, np.float32))
+    assert m is not None
+
+
 def test_cond_index_from_names(engine):
     assert engine.cond_index_from_names(genre="pop",
                                         difficulty="beginner") == [1, 0]

@@ -226,6 +226,12 @@ def main():
     parser.add_argument("--port", type=int, default=5736)
     parser.add_argument("--dtype", type=str, default="bfloat16",
                         choices=["float32", "bfloat16"])
+    parser.add_argument(
+        "--warmup", action="store_true",
+        help="pre-compile every inference bucket before accepting "
+             "requests (first-compile is 20-100 s per program on a cold "
+             "remote compiler; warmed processes load from the "
+             "persistent compilation cache in seconds)")
     args = parser.parse_args()
 
     from evaluate import load_engine
@@ -233,6 +239,9 @@ def main():
     engine = load_engine(args.ckpt, args.config, args.dtype)
     from music2midi_tpu.serve.batcher import DynamicBatcher
 
+    if args.warmup:
+        print("Warming inference buckets (compiles cache to disk)")
+        engine.warmup()
     batcher = DynamicBatcher(engine)
     print("Model loaded successfully")
     server = ThreadingHTTPServer(("0.0.0.0", args.port), Handler)
