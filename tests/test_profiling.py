@@ -1,0 +1,52 @@
+"""Profiling utilities: trace capture + summary, slope timing."""
+
+import numpy as np
+
+from music2midi_tpu import profiling
+
+
+def test_trace_and_summarize(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(256, 256))
+                    .astype(np.float32))
+
+    @jax.jit
+    def f(x):
+        return jnp.sum(x @ x)
+
+    float(f(x))  # compile outside the trace
+    with profiling.trace(tmp_path):
+        float(f(x))
+    rows = profiling.summarize_trace(tmp_path, device_only=False)
+    assert rows, "trace produced events"
+    total_ms, count, name = rows[0]
+    assert total_ms >= 0 and count >= 1 and isinstance(name, str)
+
+
+def test_timeit_slope_scales_with_work():
+    import jax.numpy as jnp
+
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(128, 128))
+                    .astype(np.float32))
+
+    def small(a):
+        return a @ a
+
+    def big(a):
+        out = a
+        for _ in range(30):
+            out = out @ a * jnp.float32(1e-2)
+        return out
+
+    t_small = profiling.timeit_slope(small, x, reps=(1, 5), trials=3)
+    t_big = profiling.timeit_slope(big, x, reps=(1, 5), trials=3)
+    assert t_big > t_small >= 0.0, (t_small, t_big)
+
+
+def test_timed_records():
+    results = {}
+    with profiling.timed("x", results):
+        pass
+    assert "x" in results and results["x"] >= 0
