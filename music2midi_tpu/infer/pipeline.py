@@ -259,8 +259,14 @@ class Music2MIDI:
         from disk in seconds."""
         max_bs = int(self.config.inference.batch_size)
         if buckets is None:
-            buckets = [b for b in _BUCKET_SIZES if b <= max_bs]
-            buckets = [self._bucket(b) for b in buckets] or [max_bs]
+            # raw chunk counts — generate()/generate_batch apply their
+            # own bucket rounding, so warming goes through the exact
+            # code path serving uses.  max_bs itself is included: it is
+            # the steady-state full-batch dispatch even when it is not
+            # one of the standard bucket sizes
+            buckets = sorted(
+                {b for b in _BUCKET_SIZES if b <= max_bs} | {max_bs}
+            )
         split = int(
             self.config.model.sample_rate
             * float(self.config.dataset.segment_duration)
@@ -527,7 +533,11 @@ class Music2MIDI:
         finally:
             if pool is not None:
                 pool.shutdown(wait=False)
-            dispatcher.shutdown(wait=False, cancel_futures=True)
+            # wait=True: an in-flight dispatch must finish before we
+            # return, or its device work would interleave with whatever
+            # the caller does next (e.g. an immediate retry) — exactly
+            # the incoherence the single-worker design exists to prevent
+            dispatcher.shutdown(wait=True, cancel_futures=True)
 
         out = []
         for start, end in song_spans:

@@ -54,11 +54,17 @@ class DynamicBatcher:
         from now on).  max_batch_songs bounds songs per dispatch batch;
         max_wait_ms is how long the dispatcher waits for more requests
         after the first one arrives (latency/throughput knob)."""
+        from concurrent.futures import ThreadPoolExecutor
+
         self.engine = engine
         self.max_batch_songs = max_batch_songs
         self.max_wait_ms = max_wait_ms
         self._queue: "queue.Queue[Optional[_Request]]" = queue.Queue()
         self._closed = False
+        self._lock = threading.Lock()  # orders submit() vs close(): no
+        # request may be enqueued behind the close sentinel
+        self._loader = ThreadPoolExecutor(max_workers=4)  # concurrent
+        # audio decode for path-based requests
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
@@ -69,21 +75,25 @@ class DynamicBatcher:
         cond_index: Optional[Sequence[int]] = None,
     ) -> Future:
         """-> Future resolving to a MidiFile.  Pass a 16 kHz waveform or
-        an audio path (decoded on the dispatcher's loader pool)."""
-        if self._closed:
-            raise RuntimeError("batcher is closed")
+        an audio path (decoded concurrently on a small loader pool)."""
         if (waveform is None) == (audio_path is None):
             raise ValueError("pass exactly one of waveform / audio_path")
         req = _Request(waveform, audio_path, cond_index)
-        self._queue.put(req)
+        with self._lock:
+            if self._closed:
+                raise RuntimeError("batcher is closed")
+            self._queue.put(req)
         return req.future
 
     def close(self) -> None:
         """Drain outstanding requests, then stop the dispatcher."""
-        if not self._closed:
+        with self._lock:
+            if self._closed:
+                return
             self._closed = True
             self._queue.put(None)
-            self._thread.join()
+        self._thread.join()
+        self._loader.shutdown(wait=False)
 
     # ------------------------------------------------------------------ #
 
@@ -117,16 +127,28 @@ class DynamicBatcher:
             batch = self._collect()
             if batch is None:
                 return
-            # per-request decode: a bad path fails only ITS future
+            # claim each future; a client that already cancel()ed a
+            # pending request is dropped here (set_result on a cancelled
+            # future raises InvalidStateError and would kill this thread)
+            batch = [
+                r for r in batch
+                if r.future.set_running_or_notify_cancel()
+            ]
+            # per-request decode (paths fan out on the loader pool): a
+            # bad path fails only ITS future
+            decode = {
+                id(r): self._loader.submit(
+                    audio_load, r.audio_path, sr=model_sr
+                )
+                for r in batch if r.audio_path is not None
+            }
             waves, live = [], []
             for r in batch:
                 try:
                     if r.waveform is not None:
                         waves.append(np.asarray(r.waveform, np.float32))
                     else:
-                        waves.append(
-                            audio_load(r.audio_path, sr=model_sr)[0]
-                        )
+                        waves.append(decode[id(r)].result()[0])
                     live.append(r)
                 except Exception as e:  # noqa: BLE001
                     r.future.set_exception(e)

@@ -76,6 +76,28 @@ def test_requests_coalesce_into_one_batch(engine):
         engine.generate_batch = orig
 
 
+def test_cancelled_request_does_not_kill_dispatcher(engine):
+    """A client cancelling a pending future must not crash the
+    dispatcher thread or poison batch-mates."""
+    batcher = DynamicBatcher(engine, max_wait_ms=400.0)
+    try:
+        rng = np.random.default_rng(3)
+        doomed = batcher.submit(
+            waveform=(rng.normal(size=16000) * 0.2).astype(np.float32)
+        )
+        # cancel before the dispatcher claims it (it waits max_wait_ms
+        # for stragglers after the first request arrives)
+        cancelled = doomed.cancel()
+        survivor = batcher.submit(
+            waveform=(rng.normal(size=16000) * 0.2).astype(np.float32)
+        )
+        assert survivor.result(timeout=120) is not None
+        if cancelled:
+            assert doomed.cancelled()
+    finally:
+        batcher.close()
+
+
 def test_bad_request_does_not_kill_good_ones(engine):
     batcher = DynamicBatcher(engine, max_wait_ms=200.0)
     try:
