@@ -205,6 +205,28 @@ class Music2MIDI:
             return jax.device_put(np.asarray(x), self._batch_sharding)
         return jnp.asarray(x)
 
+    def _stage_wave(self, batch: np.ndarray, slices: int = 4):
+        """Transport-encode + upload a chunk batch, pipelined in row
+        slices so the int16 encode of slice i+1 overlaps the upload of
+        slice i (the encode alone costs ~0.3 s for a 64-chunk batch
+        in-process — a visible share of single-song p50 latency).  Falls
+        back to the single-shot path under a mesh (sharded placement
+        needs the whole array) or for tiny batches."""
+        n = len(batch)
+        if self._batch_sharding is not None or n < 2 * slices:
+            return self._put(self._encode_wave(batch))
+        from concurrent.futures import ThreadPoolExecutor
+
+        bounds = np.linspace(0, n, slices + 1, dtype=int)
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            parts = list(pool.map(
+                lambda se: jnp.asarray(
+                    self._encode_wave(batch[se[0]:se[1]])
+                ),
+                zip(bounds[:-1], bounds[1:]),
+            ))
+        return jnp.concatenate(parts, axis=0)
+
     def cond_index_from_names(self, **names) -> List[int]:
         """Conditioning names -> indices, e.g.
         cond_index_from_names(genre="pop", difficulty="beginner") -> [1, 0]
@@ -378,7 +400,7 @@ class Music2MIDI:
             cond_batch = np.broadcast_to(cond, (b, len(cond))).copy()
             tokens, _ = self._generate_fn(
                 self.params,
-                self._put(self._encode_wave(batch)),
+                self._stage_wave(batch),
                 self._put(cond_batch),
                 dcfg=dcfg,
                 rng=self._sample_rng(start),
@@ -477,7 +499,7 @@ class Music2MIDI:
             start_idx = np.zeros(b, np.int32)
             start_idx[:n] = np.asarray(idx_b, np.int32) * n_steps
             notes, valid = _encode_generate_detokenize(
-                self.params, self._put(self._encode_wave(batch)),
+                self.params, self._stage_wave(batch),
                 self._put(cond_b),
                 self._put(start_idx),
                 t5_cfg=self.t5_config, mel_cfg=self.mel_config, dcfg=dcfg,
