@@ -48,14 +48,14 @@ def main():
                         choices=["float32", "bfloat16"])
     args = parser.parse_args()
 
-    from music2midi_tpu.config import load_config
+    from music2midi_tpu.config import resolve_config
     from music2midi_tpu.evaluation import evaluate_batch
     from music2midi_tpu.utils import numpy_to_midi
 
     data_dir = Path(args.data_dir)
     split = np.load(data_dir / "dataset_split.npz", allow_pickle=True)
     test_ids = split["test_id"]
-    config = load_config(args.config)
+    config = resolve_config(args.config)
     engine = load_engine(args.ckpt, args.config, args.dtype)
 
     logs = []

@@ -188,10 +188,13 @@ class Music2MIDI:
         The rounding uses the uint16-bias trick (add 32768.5, truncate,
         flip the sign bit) instead of `np.round`, which profiled at up to
         0.75 s of SERIAL host time per 8-song batch set under load — on
-        the dispatch critical path.  Truncation after a +0.5 bias is
-        round-half-up instead of np.round's half-even, which differs by
-        1 LSB only on exact .5 products (the device side just divides by
-        32768 either way)."""
+        the dispatch critical path.  Truncation after a float32 +32768.5
+        bias is round-half-up rather than np.round's half-even; it can
+        differ from np.round by 1 LSB on any value within float32
+        representation rounding (~2e-3 near full scale) of a truncation
+        boundary, not just exact .5 products.  Harmless: serving-mode
+        only, and lossless for audio that was int16 at source (the
+        device side just divides by 32768 either way)."""
         if self.t5_config.dtype == jnp.bfloat16:
             y = batch * 32768.0
             np.clip(y, -32768.0, 32767.0, out=y)
@@ -215,17 +218,22 @@ class Music2MIDI:
         n = len(batch)
         if self._batch_sharding is not None or n < 2 * slices:
             return self._put(self._encode_wave(batch))
+        bounds = np.linspace(0, n, slices + 1, dtype=int)
+        parts = list(self._stage_pool.map(
+            lambda se: jnp.asarray(
+                self._encode_wave(batch[se[0]:se[1]])
+            ),
+            zip(bounds[:-1], bounds[1:]),
+        ))
+        return jnp.concatenate(parts, axis=0)
+
+    @functools.cached_property
+    def _stage_pool(self):
+        """Persistent 2-thread staging pool (one dispatch per chunk batch
+        would otherwise pay executor spawn/teardown on the latency path)."""
         from concurrent.futures import ThreadPoolExecutor
 
-        bounds = np.linspace(0, n, slices + 1, dtype=int)
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            parts = list(pool.map(
-                lambda se: jnp.asarray(
-                    self._encode_wave(batch[se[0]:se[1]])
-                ),
-                zip(bounds[:-1], bounds[1:]),
-            ))
-        return jnp.concatenate(parts, axis=0)
+        return ThreadPoolExecutor(max_workers=2)
 
     def cond_index_from_names(self, **names) -> List[int]:
         """Conditioning names -> indices, e.g.

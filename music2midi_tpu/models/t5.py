@@ -452,7 +452,14 @@ class CrossKV(NamedTuple):
     `precompute_cross_kv` result through.  A plain list of (k, v) pairs
     (no padding, no mask) is also still accepted.  `enc_len` is the true
     (unpadded) key length — a static int while tracing, used by the fused
-    Pallas attention path."""
+    Pallas attention path.
+
+    INVARIANT: construct and consume a CrossKV inside ONE trace.  As a
+    NamedTuple it is a pytree whose leaves include `enc_len` and `mask`,
+    so passing one ACROSS a jit/vmap boundary turns `enc_len` into a
+    tracer and breaks the static `enc_len > 0` / `mask is None` gating in
+    `decode_step`.  Every in-repo caller builds it inside the traced
+    function; do the same."""
     layers: list
     mask: Optional[jax.Array]  # (1, 1, 1, Lp) bool, None if unpadded
     enc_len: int = 0

@@ -17,6 +17,7 @@ output opens in any browser (also served by webui.py's static handler).
 
 from __future__ import annotations
 
+import html as _html
 import json
 from pathlib import Path
 from typing import Optional, Sequence, Union
@@ -163,13 +164,19 @@ reset();
 """
 
 
+def _json_for_html(obj) -> str:
+    """JSON safe to embed in an inline <script>: '<' escaped so a value
+    containing '</script>' cannot terminate the block."""
+    return json.dumps(obj, separators=(",", ":")).replace("<", "\\u003c")
+
+
 def _render(notes: list, classes: list, title: str,
             path: Optional[Union[str, Path]]) -> str:
     html = (
         _TEMPLATE
-        .replace("__TITLE__", title)
-        .replace("__NOTES__", json.dumps(notes, separators=(",", ":")))
-        .replace("__CLASSES__", json.dumps(classes))
+        .replace("__TITLE__", _html.escape(str(title)))
+        .replace("__NOTES__", _json_for_html(notes))
+        .replace("__CLASSES__", _json_for_html(classes))
     )
     if path is not None:
         Path(path).write_text(html)

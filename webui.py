@@ -70,12 +70,17 @@ def parse_multipart(headers, body: bytes):
 
 
 def _write_roll(midi_data, result_dir: Path) -> None:
-    """Interactive piano-roll page next to the result (hover/zoom viewer)."""
-    from music2midi_tpu.plot_interactive import plot_midi_sequence_html
+    """Interactive piano-roll page next to the result (hover/zoom viewer).
+    Optional extra: a rendering failure must not fail the request — the
+    MIDI itself was already produced."""
+    try:
+        from music2midi_tpu.plot_interactive import plot_midi_sequence_html
 
-    plot_midi_sequence_html(
-        midi_data, path=result_dir / "roll.html", title="piano cover roll"
-    )
+        plot_midi_sequence_html(
+            midi_data, path=result_dir / "roll.html", title="piano cover roll"
+        )
+    except Exception as e:
+        print(f"roll.html render failed (non-fatal): {e!r}")
 
 
 def generate_result(url: str, upload):
