@@ -46,6 +46,13 @@ def maybe_initialize() -> bool:
 
     Returns True when running multi-process (after init), False for the
     normal single-process case. Idempotent.
+
+    Under a recognized launcher (Cloud TPU, Slurm, OpenMPI, k8s) the
+    no-arg auto-detection does the work.  For a manual launch — including
+    the 2-process CPU smoke test (tests/test_distributed.py) — the
+    standard JAX env triple is honored explicitly, since jax's own
+    cluster detection only resolves JAX_COORDINATOR_ADDRESS, not
+    JAX_NUM_PROCESSES / JAX_PROCESS_ID.
     """
     global _initialized
     if _initialized:
@@ -54,7 +61,14 @@ def maybe_initialize() -> bool:
         return False
     import jax
 
-    jax.distributed.initialize()
+    kwargs = {}
+    if os.environ.get("JAX_NUM_PROCESSES"):
+        kwargs["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
+    if os.environ.get("JAX_PROCESS_ID") is not None and os.environ.get(
+        "JAX_PROCESS_ID"
+    ) != "":
+        kwargs["process_id"] = int(os.environ["JAX_PROCESS_ID"])
+    jax.distributed.initialize(**kwargs)
     _initialized = True
     _log.info(
         "jax.distributed initialized: process %d/%d, %d local / %d global "
