@@ -145,12 +145,18 @@ class Music2MIDIDataset:
         if len(waveform) < target_len:
             waveform = np.pad(waveform, (0, target_len - len(waveform)))
         waveform = waveform[:target_len]
-        if rng.random() < 0.5:
-            waveform = normalize(waveform)
-        step = int(rng.integers(-6, 6))
-        if step != 0:
-            waveform = pitch_shift(waveform, sr, step)
-            notes_segment[:, 2] += step
+        # augment: true (reference default; dataset.py:122-135) applies
+        # 50% peak-normalize + random transpose.  augment: false is for
+        # eval-style corpora / dress-rehearsal runs where the phase
+        # vocoder is the dominant host cost and transposition only slows
+        # convergence on a tiny corpus.
+        if bool(cfg.get("augment", True)):
+            if rng.random() < 0.5:
+                waveform = normalize(waveform)
+            step = int(rng.integers(-6, 6))
+            if step != 0:
+                waveform = pitch_shift(waveform, sr, step)
+                notes_segment[:, 2] += step
         return waveform, notes_segment, self.cond_indices[index]
 
 

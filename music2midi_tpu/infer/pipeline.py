@@ -163,9 +163,10 @@ class Music2MIDI:
     ) -> "Music2MIDI":
         cfg = resolve_config(config)
         num_cond = tuple(len(v) for v in cfg.conditioning.values())
-        params = init_params(
-            jax.random.PRNGKey(seed), t5_config_from(cfg), num_cond
-        )
+        # int seed: init_params derives the same entropy as PRNGKey(seed)
+        # without creating (and round-tripping) a device array — the
+        # first D2H of a cold process can stall on the relay
+        params = init_params(seed, t5_config_from(cfg), num_cond)
         return cls(params, cfg, **kw)
 
     @classmethod

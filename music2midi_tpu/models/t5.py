@@ -760,11 +760,22 @@ def init_params(
     lm_head ~ N(0, d_model^-0.5), layer norms = 1.
 
     Sampling happens on host (numpy): dispatching ~150 tiny jax.random
-    programs to a TPU costs ~100 s of compiles for a one-time init."""
+    programs to a TPU costs ~100 s of compiles for a one-time init.
+    `rng` may be a plain int seed or a jax PRNG key; a key is read via
+    its host-side buffer WITHOUT a device round trip — fetching a
+    just-created key through the relay was observed to stall cold
+    processes for minutes (the first D2H of a session can take 20 s+,
+    and under relay backpressure indefinitely)."""
     d, dk, h, dff = cfg.d_model, cfg.d_kv, cfg.num_heads, cfg.d_ff
     inner = h * dk
-    seed = np.asarray(jax.random.key_data(rng)).ravel()
-    host_rng = np.random.default_rng([int(x) for x in seed])
+    if isinstance(rng, (int, np.integer)):
+        # same entropy words as PRNGKey(seed).key_data -> [hi32, lo32],
+        # so int-seed and key-seed callers produce identical params
+        s = int(rng)
+        host_rng = np.random.default_rng([s >> 32, s & 0xFFFFFFFF])
+    else:
+        seed = np.asarray(jax.random.key_data(rng)).ravel()
+        host_rng = np.random.default_rng([int(x) for x in seed])
 
     def normal(shape, std):
         return (host_rng.normal(size=shape) * std).astype(np.float32)

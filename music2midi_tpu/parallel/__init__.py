@@ -6,4 +6,5 @@ from .mesh import (  # noqa: F401
     make_mesh,
     param_shardings,
     replicate,
+    stacked_batch_sharding,
 )

@@ -50,6 +50,12 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("dp"))
 
 
+def stacked_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """For multi-step (K, B, ...) batch stacks: scan axis replicated,
+    per-step batch axis over dp (train.loop.make_multi_step)."""
+    return NamedSharding(mesh, P(None, "dp"))
+
+
 def _attn_spec(name: str) -> P:
     # q/k/v: (d_model, heads*d_kv) — shard the head dim; o: (heads*d_kv,
     # d_model) — shard the head (first) dim

@@ -1,2 +1,7 @@
 from .adafactor import adafactor_hf  # noqa: F401
-from .loop import TrainState, make_train_step, make_eval_step  # noqa: F401
+from .loop import (  # noqa: F401
+    TrainState,
+    make_eval_step,
+    make_multi_step,
+    make_train_step,
+)

@@ -91,6 +91,40 @@ def make_train_step(
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
 
+def make_multi_step(
+    optimizer: optax.GradientTransformation,
+    t5_cfg: T5Config,
+    mel_cfg: LogMelConfig,
+    donate: bool = True,
+):
+    """-> jitted (state, stacked_batches, rng) -> (state, losses (K,)).
+
+    K optimizer steps in ONE dispatch: `stacked_batches` is a Batch whose
+    leaves carry a leading step axis (K, B, ...) and `lax.scan` runs the
+    exact single-step update over it.  Purpose-built for dispatch-latency
+    dominated stacks (the tunneled axon relay charges 50 ms - minutes per
+    host round trip; CLAUDE.md): K=50 turns 200 round trips into 4.
+    Semantics are IDENTICAL to calling make_train_step's fn K times —
+    same per-step rng fold-in, same Adafactor schedule
+    (tests/test_train.py::test_multi_step_equals_single_steps)."""
+
+    def multi_step(state: TrainState, batches: Batch, rng):
+        def body(s: TrainState, b: Batch):
+            step_rng = jax.random.fold_in(rng, s.step)
+            loss, grads = jax.value_and_grad(_loss_fn)(
+                s.params, b, step_rng, t5_cfg, mel_cfg, False
+            )
+            updates, opt_state = optimizer.update(
+                grads, s.opt_state, s.params
+            )
+            params = optax.apply_updates(s.params, updates)
+            return TrainState(params, opt_state, s.step + 1), loss
+
+        return jax.lax.scan(body, state, batches)
+
+    return jax.jit(multi_step, donate_argnums=(0,) if donate else ())
+
+
 def make_eval_step(t5_cfg: T5Config, mel_cfg: LogMelConfig):
     """-> jitted (params, batch) -> loss (deterministic)."""
 

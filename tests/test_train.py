@@ -251,3 +251,56 @@ def test_distributed_guard_is_noop_single_host(monkeypatch):
     monkeypatch.delenv("M2M_DISTRIBUTED")
     monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "localhost:1234")
     assert distributed.should_initialize() is True
+
+
+def test_multi_step_equals_single_steps(tiny_setup):
+    """make_multi_step's lax.scan over K stacked batches must reproduce K
+    make_train_step calls exactly (same rng fold-in, same Adafactor
+    trajectory) — the correctness contract for --steps_per_dispatch."""
+    import jax
+    import jax.numpy as jnp
+
+    from music2midi_tpu.train import make_multi_step
+
+    t5_cfg, mel_cfg, params, batch = tiny_setup
+    K = 4
+    rng = jax.random.PRNGKey(7)
+    rng_np = np.random.default_rng(3)
+    batches = [
+        Batch(
+            batch.waveform
+            + rng_np.normal(size=batch.waveform.shape).astype(np.float32)
+            * 0.01,
+            batch.labels,
+            batch.cond_index,
+        )
+        for _ in range(K)
+    ]
+
+    opt = adafactor_hf(learning_rate=0.05, warmup_init=False)
+    single = make_train_step(opt, t5_cfg, mel_cfg, donate=False)
+    s1 = init_train_state(params, opt)
+    single_losses = []
+    for b in batches:
+        s1, loss = single(s1, b, rng)
+        single_losses.append(float(loss))
+
+    multi = make_multi_step(opt, t5_cfg, mel_cfg, donate=False)
+    stacked = Batch(
+        np.stack([b.waveform for b in batches]),
+        np.stack([b.labels for b in batches]),
+        np.stack([b.cond_index for b in batches]),
+    )
+    s2 = init_train_state(params, opt)
+    s2, losses = multi(s2, stacked, rng)
+
+    np.testing.assert_allclose(
+        np.asarray(losses), np.asarray(single_losses), rtol=1e-5
+    )
+    assert int(s2.step) == int(s1.step) == K
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6
+        ),
+        s1.params, s2.params,
+    )

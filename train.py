@@ -11,8 +11,12 @@ log_every_n_steps (reference model.py:40-42).
 from __future__ import annotations
 
 import argparse
+import faulthandler
 import json
 import time
+
+faulthandler.enable()  # SIGSEGV/SIGABRT dump Python stacks — a stalled
+# run can be diagnosed with `kill -ABRT <pid>` instead of dying silently
 from datetime import datetime
 from pathlib import Path
 
@@ -52,6 +56,20 @@ def parse_args():
     parser.add_argument("--eval_in_train", action="store_true",
                         help="chroma score on train batches every "
                              "log_every_n_steps (reference behavior)")
+    parser.add_argument(
+        "--steps_per_dispatch", type=int, default=1,
+        help="optimizer steps fused into ONE device dispatch via lax.scan "
+             "(train.loop.make_multi_step). >1 collapses the per-step "
+             "host round trips — the right mode when dispatch latency, "
+             "not device compute, bounds the loop (tunneled TPU relays). "
+             "Semantics identical to the per-step loop",
+    )
+    parser.add_argument(
+        "--device", type=str, default="auto", choices=["auto", "cpu"],
+        help="cpu forces the CPU backend (jax.config, since env "
+             "JAX_PLATFORMS alone is overridden by the TPU plugin's "
+             "sitecustomize) — for smoke runs and relay-free training",
+    )
     parser.add_argument(
         "--dtype", type=str, default="float32",
         choices=["float32", "bfloat16"],
@@ -104,6 +122,9 @@ def main():
     maybe_initialize_distributed()
 
     import jax
+
+    if args.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from music2midi_tpu.config import load_config
@@ -146,7 +167,7 @@ def main():
     mel_cfg = log_mel_config_from(config)
     tokenizer = MidiTokenizer(config)
     num_cond = tuple(len(v) for v in config.conditioning.values())
-    params = init_params(jax.random.PRNGKey(args.seed), t5_cfg, num_cond)
+    params = init_params(args.seed, t5_cfg, num_cond)
 
     # dp must divide the batch size; use the largest divisor that fits the
     # device count after carving out tp
@@ -160,6 +181,7 @@ def main():
         print(f"note: using {dp * tp}/{n_dev} devices (batch {batch_size} "
               f"not divisible by {n_dev // tp} with tp={tp})")
     mesh = make_mesh(jax.devices()[:dp * tp], dp=dp, tp=tp)
+    print(f"mesh (dp={dp}, tp={tp}); placing params...", flush=True)
     params = jax.device_put(params, param_shardings(mesh, params))
     bshard = batch_sharding(mesh)
 
@@ -207,8 +229,82 @@ def main():
     max_epochs = int(config.trainer.max_epochs)
     steps_per_epoch = max(1, len(train_loader))
     min_steps_between_saves = max(steps_per_epoch, log_every)
-    last_saved = int(state.step)
+    # host-side step counter: fetching int(state.step) every step costs a
+    # synchronous device->host round trip per step — on the tunneled-relay
+    # stack that serializes the whole loop on dispatch latency (observed
+    # 50 ms-minutes per round trip).  Steps between log points now dispatch
+    # fully async; the ONLY sync is float(loss) at log boundaries.
+    step = int(state.step)
+    last_saved = step
     t_start = time.time()
+
+    if args.steps_per_dispatch > 1:
+        from music2midi_tpu.parallel import stacked_batch_sharding
+        from music2midi_tpu.train import make_multi_step
+
+        K = args.steps_per_dispatch
+        multi_fn = make_multi_step(optimizer, t5_cfg, mel_cfg)
+        sshard = stacked_batch_sharding(mesh)
+        start_step = step
+
+        def batch_stream():
+            for _ in range(max_epochs):
+                yield from train_loader
+
+        def stack_group(group):
+            # fixed label width: per-group max widths would recompile the
+            # fused program for every distinct (K, L) shape.  384 covers
+            # the densest legal 3-s window (90 notes x 4 tokens + EOS)
+            max_l = max(384, max(b.labels.shape[1] for b in group))
+            labels = np.full(
+                (len(group),) + (group[0].labels.shape[0], max_l), -100,
+                dtype=np.int32,
+            )
+            for i, b in enumerate(group):
+                labels[i, :, : b.labels.shape[1]] = b.labels
+            return Batch(
+                np.stack([b.waveform for b in group]),
+                labels,
+                np.stack([b.cond_index for b in group]),
+            )
+
+        stream = batch_stream()
+        while True:
+            group = []
+            budget = K
+            if args.max_steps:
+                budget = min(K, args.max_steps - step)
+            if budget <= 0:
+                break
+            for b in stream:
+                group.append(b)
+                if len(group) == budget:
+                    break
+            if not group:
+                break  # max_epochs exhausted
+            stacked = stack_group(group)
+            dev = Batch(
+                jax.device_put(stacked.waveform, sshard),
+                jax.device_put(stacked.labels, sshard),
+                jax.device_put(stacked.cond_index, sshard),
+            )
+            state, losses = multi_fn(state, dev, rng)
+            step += len(group)
+            log({
+                "step": step,
+                "train/loss": float(losses[-1]),
+                "steps_per_sec": (step - start_step) / max(
+                    1e-9, time.time() - t_start),
+                "dispatch_steps": len(group),
+            })
+            if step - last_saved >= min_steps_between_saves:
+                save_train_state(out_dir / "ckpt", state, config)
+                last_saved = step
+        if step > last_saved:
+            save_train_state(out_dir / "ckpt", state, config)
+        log({"step": step, "done": True})
+        return
+
     try:
         for epoch in range(max_epochs):
             for batch in train_loader:
@@ -218,7 +314,13 @@ def main():
                     jax.device_put(batch.cond_index, bshard),
                 )
                 state, loss = step_fn(state, dev_batch, rng)
-                step = int(state.step)
+                step += 1
+                if step == 1:
+                    # one deliberate sync: surfaces compile/first-contact
+                    # stalls immediately instead of at the first log point
+                    step = int(state.step)
+                    print(f"first step done in {time.time() - t_start:.1f}s",
+                          flush=True)
                 if step % log_every == 0:
                     rec = {
                         "step": step, "epoch": epoch,
@@ -238,24 +340,24 @@ def main():
             # validation + checkpoint at epoch ends (reference cadence),
             # throttled so tiny datasets (one batch per epoch) don't spend
             # the run inside orbax saves
-            if int(state.step) - last_saved >= min_steps_between_saves:
+            if step - last_saved >= min_steps_between_saves:
                 val_losses = [
                     float(eval_fn(state.params, Batch(
                         b.waveform, b.labels, b.cond_index)))
                     for b in val_loader
                 ]
                 if val_losses:
-                    log({"step": int(state.step), "epoch": epoch,
+                    log({"step": step, "epoch": epoch,
                          "val/loss": float(np.mean(val_losses))})
                 save_train_state(out_dir / "ckpt", state, config)
-                last_saved = int(state.step)
+                last_saved = step
     except StopIteration:
         pass
     # final save: normal max_epochs completion must not drop the last
     # (< min_steps_between_saves) steps
-    if int(state.step) > last_saved:
+    if step > last_saved:
         save_train_state(out_dir / "ckpt", state, config)
-    log({"step": int(state.step), "done": True})
+    log({"step": step, "done": True})
 
 
 def _notes_from_labels(labels, tokenizer):
