@@ -65,16 +65,23 @@ def main() -> None:
     engine.generate_batch(songs)
     engine.generate(audio_y=songs[0])
 
-    # median of 5 trials: the TPU relay adds multi-second per-run jitter
+    # 3 groups x 3 trials with gaps between groups: the relay's ambient
+    # load swings throughput ~2x across minutes-scale windows (CLAUDE.md),
+    # which back-to-back medians cannot see — the spread fields put error
+    # bars on the headline (VERDICT r2 weak #1)
     trials = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        midis = engine.generate_batch(songs)
-        trials.append(time.perf_counter() - t0)
+    for g in range(3):
+        if g:
+            time.sleep(10.0)
+        for _ in range(3):
+            t0 = time.perf_counter()
+            midis = engine.generate_batch(songs)
+            trials.append(time.perf_counter() - t0)
     elapsed = sorted(trials)[len(trials) // 2]
     n_notes = sum(  # noqa: F841 — random weights may yield zero notes;
         len(i.notes) for m in midis for i in m.instruments
     )  # the full pipeline still runs detokenize/stitch on every chunk
+    tput = sorted(N_SONGS / (t / 60.0) for t in trials)  # ascending
 
     # p50 single-song latency (BASELINE.md headline metric #2): one 3-min
     # song through the full generate() path, median of 5
@@ -83,7 +90,8 @@ def main() -> None:
         t0 = time.perf_counter()
         engine.generate(audio_y=songs[0])
         lat.append(time.perf_counter() - t0)
-    p50_latency = sorted(lat)[len(lat) // 2]
+    lat.sort()
+    p50_latency = lat[len(lat) // 2]
 
     songs_per_min = N_SONGS / (elapsed / 60.0)
     result = {
@@ -92,6 +100,16 @@ def main() -> None:
         "unit": "3min_songs/min/chip",
         "vs_baseline": round(songs_per_min / 6.25, 3),
         "p50_song_latency_s": round(p50_latency, 3),
+        "spread": {
+            "n_trials": len(tput),
+            "min": round(tput[0], 2),
+            "p10": round(tput[max(0, len(tput) // 10)], 2),
+            "p90": round(tput[min(len(tput) - 1, 9 * len(tput) // 10)], 2),
+            "max": round(tput[-1], 2),
+        },
+        "latency_spread_s": {
+            "min": round(lat[0], 3), "max": round(lat[-1], 3),
+        },
     }
     print(json.dumps(result))
 

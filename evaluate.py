@@ -46,6 +46,11 @@ def main():
     parser.add_argument("--name", type=str, default="music2midi")
     parser.add_argument("--dtype", type=str, default="float32",
                         choices=["float32", "bfloat16"])
+    parser.add_argument(
+        "--split", type=str, default="test",
+        choices=["test", "val", "train"],
+        help="which dataset_split ids to score (test = the reference "
+             "evaluation; train/val are overfit/selection diagnostics)")
     args = parser.parse_args()
 
     from music2midi_tpu.config import resolve_config
@@ -54,7 +59,7 @@ def main():
 
     data_dir = Path(args.data_dir)
     split = np.load(data_dir / "dataset_split.npz", allow_pickle=True)
-    test_ids = split["test_id"]
+    test_ids = split[f"{args.split}_id"]
     config = resolve_config(args.config)
     engine = load_engine(args.ckpt, args.config, args.dtype)
 
