@@ -103,8 +103,10 @@ def main() -> None:
         "spread": {
             "n_trials": len(tput),
             "min": round(tput[0], 2),
-            "p10": round(tput[max(0, len(tput) // 10)], 2),
-            "p90": round(tput[min(len(tput) - 1, 9 * len(tput) // 10)], 2),
+            # nearest-rank on (n-1)*q so small n gives a trimmed value,
+            # not a duplicate of min/max (9 trials -> indices 1 and 7)
+            "p10": round(tput[round((len(tput) - 1) * 0.1)], 2),
+            "p90": round(tput[round((len(tput) - 1) * 0.9)], 2),
             "max": round(tput[-1], 2),
         },
         "latency_spread_s": {

@@ -53,14 +53,12 @@ def main():
              "evaluation; train/val are overfit/selection diagnostics)")
     args = parser.parse_args()
 
-    from music2midi_tpu.config import resolve_config
     from music2midi_tpu.evaluation import evaluate_batch
     from music2midi_tpu.utils import numpy_to_midi
 
     data_dir = Path(args.data_dir)
     split = np.load(data_dir / "dataset_split.npz", allow_pickle=True)
     test_ids = split[f"{args.split}_id"]
-    config = resolve_config(args.config)
     engine = load_engine(args.ckpt, args.config, args.dtype)
 
     logs = []
@@ -69,10 +67,12 @@ def main():
             meta = yaml.safe_load(f)
         genre = meta["piano"]["genre"]
         difficulty = meta["piano"]["difficulty"]
-        cond_index = [
-            list(config.conditioning.genre).index(genre),
-            list(config.conditioning.difficulty).index(difficulty),
-        ]
+        # the ENGINE's config (possibly embedded in the checkpoint) maps
+        # names -> indices; resolving a separate config here could
+        # silently disagree with the model's conditioning vocabulary
+        cond_index = engine.cond_index_from_names(
+            genre=genre, difficulty=difficulty
+        )
         label_midi = numpy_to_midi(
             np.load(data_dir / "midi_numpy" / f"{piano_id}.npy")
         )

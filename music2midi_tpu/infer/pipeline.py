@@ -231,10 +231,15 @@ class Music2MIDI:
     @functools.cached_property
     def _stage_pool(self):
         """Persistent 2-thread staging pool (one dispatch per chunk batch
-        would otherwise pay executor spawn/teardown on the latency path)."""
+        would otherwise pay executor spawn/teardown on the latency path).
+        Shut down when the engine is collected — otherwise every engine
+        instance leaks two idle non-daemon threads for the process life."""
+        import weakref
         from concurrent.futures import ThreadPoolExecutor
 
-        return ThreadPoolExecutor(max_workers=2)
+        pool = ThreadPoolExecutor(max_workers=2)
+        weakref.finalize(self, pool.shutdown, wait=False)
+        return pool
 
     def cond_index_from_names(self, **names) -> List[int]:
         """Conditioning names -> indices, e.g.

@@ -770,9 +770,16 @@ def init_params(
     inner = h * dk
     if isinstance(rng, (int, np.integer)):
         # same entropy words as PRNGKey(seed).key_data -> [hi32, lo32],
-        # so int-seed and key-seed callers produce identical params
+        # so int-seed and key-seed callers produce identical params.
+        # PRNGKey converts an int32-range seed through uint32 (hi word 0:
+        # PRNGKey(-1) -> [0, 0xFFFFFFFF]), so negative seeds must wrap,
+        # not sign-extend (SeedSequence rejects negative entropy).
         s = int(rng)
-        host_rng = np.random.default_rng([s >> 32, s & 0xFFFFFFFF])
+        if -(2 ** 31) <= s < 2 ** 32:
+            words = [0, s & 0xFFFFFFFF]
+        else:
+            words = [(s >> 32) & 0xFFFFFFFF, s & 0xFFFFFFFF]
+        host_rng = np.random.default_rng(words)
     else:
         seed = np.asarray(jax.random.key_data(rng)).ravel()
         host_rng = np.random.default_rng([int(x) for x in seed])

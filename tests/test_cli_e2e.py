@@ -160,6 +160,52 @@ def test_train_resume(mini_dataset, tmp_path, monkeypatch):
     assert steps[-1] == "step_00000002"
 
 
+def test_train_cli_multi_step_dispatch(mini_dataset, tmp_path, monkeypatch):
+    """--steps_per_dispatch>1 drives the fused multi-step branch end to
+    end: ragged final group (max_steps=3, K=2 -> groups of 2 and 1),
+    deferred loss logging, eval_in_train scoring, and the val loop at the
+    final checkpoint boundary."""
+    import json
+
+    from music2midi_tpu.config import load_config
+
+    root, cfg_path = mini_dataset
+    # the shared config has max_epochs=1 (2 batches) — the multi-step
+    # stream would exhaust at step 2 before the ragged tail is exercised
+    cfg = load_config(cfg_path)
+    cfg.trainer.max_epochs = 4
+    multi_cfg = tmp_path / "multi_config.yaml"
+    save_config(cfg, multi_cfg)
+    monkeypatch.setattr(
+        sys, "argv",
+        ["train.py", str(root), "--config", str(multi_cfg), "--name", "m",
+         "--out_dir", str(tmp_path / "runs"), "--max_steps", "3",
+         "--steps_per_dispatch", "2", "--eval_in_train"],
+    )
+    sys.path.insert(0, "/root/repo")
+    import train as train_cli
+
+    train_cli.main()
+    ckpts = sorted(
+        p.name for p in (tmp_path / "runs" / "m" / "ckpt").glob("step_*")
+    )
+    assert ckpts and ckpts[-1] == "step_00000003"
+    recs = [
+        json.loads(line)
+        for line in (tmp_path / "runs" / "m" / "log.jsonl")
+        .read_text().splitlines()
+    ]
+    dispatch = [r["dispatch_steps"] for r in recs if "dispatch_steps" in r]
+    assert dispatch == [2, 1], "full group then ragged tail"
+    losses = [r["train/loss"] for r in recs if "train/loss" in r]
+    assert losses and all(np.isfinite(losses))
+    assert [r["step"] for r in recs if "train/loss" in r] == [2, 3], \
+        "deferred logging still reports every dispatch exactly once"
+    assert any("train/score" in r for r in recs), "eval_in_train scored"
+    assert any("val/loss" in r for r in recs), \
+        "validation runs at the checkpoint boundary"
+
+
 def test_evaluate_cli(mini_dataset, tmp_path, monkeypatch):
     root, cfg_path = mini_dataset
     monkeypatch.chdir(tmp_path)

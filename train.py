@@ -62,7 +62,9 @@ def parse_args():
              "(train.loop.make_multi_step). >1 collapses the per-step "
              "host round trips — the right mode when dispatch latency, "
              "not device compute, bounds the loop (tunneled TPU relays). "
-             "Semantics identical to the per-step loop",
+             "Optimizer trajectory identical to the per-step loop; "
+             "loss logs per dispatch (not per log_every_n_steps) and "
+             "validation runs at checkpoint boundaries",
     )
     parser.add_argument(
         "--device", type=str, default="auto", choices=["auto", "cpu"],
@@ -157,6 +159,10 @@ def main():
     val_loader = DataLoader(
         val_set, batch_size=int(dl_cfg.batch_size),
         num_workers=int(dl_cfg.num_workers), shuffle=False, seed=args.seed,
+        # validation must see every sample: the default drop_last=True
+        # silently yields ZERO batches (no val/loss at all) whenever the
+        # val split is smaller than one batch (Lightning never drops on val)
+        drop_last=False,
     )
 
     t5_cfg = t5_config_from(
@@ -235,6 +241,7 @@ def main():
     # 50 ms-minutes per round trip).  Steps between log points now dispatch
     # fully async; the ONLY sync is float(loss) at log boundaries.
     step = int(state.step)
+    run_start_step = step
     last_saved = step
     t_start = time.time()
 
@@ -245,7 +252,6 @@ def main():
         K = args.steps_per_dispatch
         multi_fn = make_multi_step(optimizer, t5_cfg, mel_cfg)
         sshard = stacked_batch_sharding(mesh)
-        start_step = step
 
         def batch_stream():
             for _ in range(max_epochs):
@@ -268,11 +274,47 @@ def main():
                 np.stack([b.cond_index for b in group]),
             )
 
+        def log_group(pstep, plosses, pn, pparams, pbatch):
+            # float(plosses[-1]) is the loop's only device->host sync;
+            # callers pass the PREVIOUS dispatch here after the next one
+            # is already in flight, so the fetch overlaps device compute
+            # with host data staging instead of serializing them
+            rec = {
+                "step": pstep,
+                "train/loss": float(plosses[-1]),
+                "steps_per_sec": (pstep - run_start_step) / max(
+                    1e-9, time.time() - t_start),
+                "dispatch_steps": pn,
+            }
+            if pparams is not None:
+                rec["train/score"] = evaluate_training_batch(
+                    pparams, pbatch, config, t5_cfg, mel_cfg, tokenizer,
+                    _notes_from_labels(pbatch.labels, tokenizer),
+                )
+            log(rec)
+
+        def run_val():
+            # same epoch-cadence validation as the per-step loop (runs at
+            # checkpoint boundaries; --steps_per_dispatch must not drop
+            # the val/loss signal checkpoints are selected by)
+            vals = [
+                float(eval_fn(state.params, Batch(
+                    b.waveform, b.labels, b.cond_index)))
+                for b in val_loader
+            ]
+            if vals:
+                log({"step": step, "val/loss": float(np.mean(vals))})
+
         stream = batch_stream()
+        pending = None  # previous dispatch: (step, losses, n, params, batch)
         while True:
             group = []
             budget = K
             if args.max_steps:
+                # a ragged final group (< K) compiles a second fused
+                # program ONCE per run (the stream spans epochs, so there
+                # is no per-epoch tail); padding it to K would take extra
+                # optimizer steps and break max_steps exactness
                 budget = min(K, args.max_steps - step)
             if budget <= 0:
                 break
@@ -290,17 +332,25 @@ def main():
             )
             state, losses = multi_fn(state, dev, rng)
             step += len(group)
-            log({
-                "step": step,
-                "train/loss": float(losses[-1]),
-                "steps_per_sec": (step - start_step) / max(
-                    1e-9, time.time() - t_start),
-                "dispatch_steps": len(group),
-            })
+            if pending is not None:
+                log_group(*pending)
+            # eval_in_train mirrors the per-step path: score the updated
+            # params on the most recent train batch (group tail)
+            pending = (
+                step, losses, len(group),
+                state.params if args.eval_in_train else None,
+                group[-1] if args.eval_in_train else None,
+            )
             if step - last_saved >= min_steps_between_saves:
+                log_group(*pending)
+                pending = None
+                run_val()
                 save_train_state(out_dir / "ckpt", state, config)
                 last_saved = step
+        if pending is not None:
+            log_group(*pending)
         if step > last_saved:
+            run_val()
             save_train_state(out_dir / "ckpt", state, config)
         log({"step": step, "done": True})
         return
@@ -325,7 +375,9 @@ def main():
                     rec = {
                         "step": step, "epoch": epoch,
                         "train/loss": float(loss),
-                        "steps_per_sec": step / max(
+                        # steps THIS RUN over elapsed — `step` alone would
+                        # inflate the rate after a --ckpt resume
+                        "steps_per_sec": (step - run_start_step) / max(
                             1e-9, time.time() - t_start),
                     }
                     if args.eval_in_train:
