@@ -25,7 +25,9 @@ fully pre-warmed bucket set).
 
 from __future__ import annotations
 
+import argparse
 import json
+import os
 import time
 
 import numpy as np
@@ -35,30 +37,88 @@ N_SONGS = 8
 SONG_SECONDS = 180
 
 
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument(
+        "--ckpt", type=str, default=os.environ.get("M2M_BENCH_CKPT"),
+        help="trained checkpoint (orbax dir or torch .ckpt). With a "
+             "checkpoint the bench measures the REAL serving operating "
+             "point: EOS early-exit decode at the config's full "
+             "decode_max_length instead of forced 256 tokens/chunk "
+             "(VERDICT r2 weak #2)",
+    )
+    p.add_argument(
+        "--max_decode", type=int, default=None,
+        help="decode token cap per chunk (default: 1024 in trained mode, "
+             "DECODE_TOKENS forced in random mode)",
+    )
+    p.add_argument(
+        "--audio_dir", type=str, default=os.environ.get("M2M_BENCH_AUDIO"),
+        help="directory of .wav songs for the trained-mode workload "
+             "(default: synthetic sines, as in the random-weights mode); "
+             "throughput is normalized to 3-min-song equivalents by "
+             "total audio seconds",
+    )
+    return p.parse_args()
+
+
 def main() -> None:
+    args = parse_args()
     import jax
     import jax.numpy as jnp
 
     from music2midi_tpu.infer import Music2MIDI
 
-    engine = Music2MIDI.from_random(
-        seed=0, decode_max_length=DECODE_TOKENS, dtype=jnp.bfloat16
-    )
-    # suppress EOS inside the decode loop so every chunk decodes the full
-    # DECODE_TOKENS (an earlier -1e9 lm_head-column hack made EOS the
-    # argmax whenever sum(hidden) < 0 and let decode exit early, inflating
-    # the benchmark)
-    engine.suppress_tokens = (engine.t5_config.eos_token_id,)
+    if args.ckpt:
+        from pathlib import Path
+
+        # real operating point: trained weights, EOS early exit, full
+        # config decode length — no forced-token floor.  config=None so
+        # the checkpoint's EMBEDDED config wins (evaluate.load_engine's
+        # ./config.yaml fallback would silently override it from the
+        # repo root)
+        kw = {"dtype": jnp.bfloat16}
+        if args.max_decode:
+            kw["decode_max_length"] = args.max_decode
+        p = Path(args.ckpt)
+        if p.suffix in (".ckpt", ".pt"):
+            engine = Music2MIDI.from_torch_checkpoint(p, None, **kw)
+        else:
+            engine = Music2MIDI.from_orbax(p, None, **kw)
+    else:
+        engine = Music2MIDI.from_random(
+            seed=0,
+            decode_max_length=args.max_decode or DECODE_TOKENS,
+            dtype=jnp.bfloat16,
+        )
+        # suppress EOS inside the decode loop so every chunk decodes the
+        # full DECODE_TOKENS (an earlier -1e9 lm_head-column hack made EOS
+        # the argmax whenever sum(hidden) < 0 and let decode exit early,
+        # inflating the benchmark)
+        engine.suppress_tokens = (engine.t5_config.eos_token_id,)
     engine.params = jax.device_put(engine.params)
 
     sr = int(engine.config.model.sample_rate)
-    rng = np.random.default_rng(0)
-    t = np.arange(SONG_SECONDS * sr) / sr
-    songs = [
-        (0.3 * np.sin(2 * np.pi * (200 + 40 * k) * t)
-         + 0.05 * rng.normal(size=len(t))).astype(np.float32)
-        for k in range(N_SONGS)
-    ]
+    if args.audio_dir:
+        from pathlib import Path
+
+        from music2midi_tpu.audio import load as load_audio
+
+        paths = sorted(Path(args.audio_dir).glob("*.wav"))[:N_SONGS]
+        if not paths:
+            raise SystemExit(f"no .wav files in {args.audio_dir}")
+        songs = [load_audio(p, sr=sr)[0].astype(np.float32) for p in paths]
+    else:
+        rng = np.random.default_rng(0)
+        t = np.arange(SONG_SECONDS * sr) / sr
+        songs = [
+            (0.3 * np.sin(2 * np.pi * (200 + 40 * k) * t)
+             + 0.05 * rng.normal(size=len(t))).astype(np.float32)
+            for k in range(N_SONGS)
+        ]
+    # 3-min-song equivalents: trained-mode corpora have shorter songs, so
+    # normalize throughput by total audio time, not file count
+    song_equivalents = sum(len(s) for s in songs) / sr / SONG_SECONDS
 
     # warmup: run the EXACT workload once so every bucket shape the timed
     # trials hit is compiled (a partial warmup left one bucket cold in r1)
@@ -81,7 +141,7 @@ def main() -> None:
     n_notes = sum(  # noqa: F841 — random weights may yield zero notes;
         len(i.notes) for m in midis for i in m.instruments
     )  # the full pipeline still runs detokenize/stitch on every chunk
-    tput = sorted(N_SONGS / (t / 60.0) for t in trials)  # ascending
+    tput = sorted(song_equivalents / (t / 60.0) for t in trials)
 
     # p50 single-song latency (BASELINE.md headline metric #2): one 3-min
     # song through the full generate() path, median of 5
@@ -93,12 +153,14 @@ def main() -> None:
     lat.sort()
     p50_latency = lat[len(lat) // 2]
 
-    songs_per_min = N_SONGS / (elapsed / 60.0)
+    songs_per_min = song_equivalents / (elapsed / 60.0)
     result = {
         "metric": "songs_per_min_per_chip",
         "value": round(songs_per_min, 2),
         "unit": "3min_songs/min/chip",
         "vs_baseline": round(songs_per_min / 6.25, 3),
+        "mode": "trained_eos" if args.ckpt else "random_forced256",
+        "n_notes": n_notes,
         "p50_song_latency_s": round(p50_latency, 3),
         "spread": {
             "n_trials": len(tput),
@@ -112,6 +174,9 @@ def main() -> None:
         "latency_spread_s": {
             "min": round(lat[0], 3), "max": round(lat[-1], 3),
         },
+        # latency is for songs[0] as-is (3 min synthetic, or the first
+        # corpus song's true length in trained mode)
+        "latency_song_seconds": round(len(songs[0]) / sr, 1),
     }
     print(json.dumps(result))
 

@@ -12,11 +12,15 @@ from __future__ import annotations
 
 import argparse
 import faulthandler
+import io
 import json
 import time
 
-faulthandler.enable()  # SIGSEGV/SIGABRT dump Python stacks — a stalled
-# run can be diagnosed with `kill -ABRT <pid>` instead of dying silently
+try:
+    faulthandler.enable()  # SIGSEGV/SIGABRT dump Python stacks — a stalled
+    # run can be diagnosed with `kill -ABRT <pid>` instead of dying silently
+except io.UnsupportedOperation:
+    pass  # stderr has no fileno under pytest capture; diagnostics-only
 from datetime import datetime
 from pathlib import Path
 
