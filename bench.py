@@ -53,6 +53,13 @@ def parse_args():
              "DECODE_TOKENS forced in random mode)",
     )
     p.add_argument(
+        "--config", type=str, default=None,
+        help="config for --ckpt. Default: an orbax checkpoint's EMBEDDED "
+             "config; a torch .ckpt embeds none, so the packaged default "
+             "(reference schema) is used — pass this explicitly for a "
+             ".ckpt trained with a non-default architecture",
+    )
+    p.add_argument(
         "--audio_dir", type=str, default=os.environ.get("M2M_BENCH_AUDIO"),
         help="directory of .wav songs for the trained-mode workload "
              "(default: synthetic sines, as in the random-weights mode); "
@@ -73,18 +80,20 @@ def main() -> None:
         from pathlib import Path
 
         # real operating point: trained weights, EOS early exit, full
-        # config decode length — no forced-token floor.  config=None so
-        # the checkpoint's EMBEDDED config wins (evaluate.load_engine's
-        # ./config.yaml fallback would silently override it from the
-        # repo root)
+        # config decode length — no forced-token floor.  config default
+        # None: from_orbax then restores the checkpoint's EMBEDDED config
+        # (evaluate.load_engine's ./config.yaml fallback would silently
+        # override it from the repo root); a torch .ckpt embeds no config,
+        # so None means the packaged reference-schema default there —
+        # --config exists for non-default .ckpt architectures
         kw = {"dtype": jnp.bfloat16}
         if args.max_decode:
             kw["decode_max_length"] = args.max_decode
         p = Path(args.ckpt)
         if p.suffix in (".ckpt", ".pt"):
-            engine = Music2MIDI.from_torch_checkpoint(p, None, **kw)
+            engine = Music2MIDI.from_torch_checkpoint(p, args.config, **kw)
         else:
-            engine = Music2MIDI.from_orbax(p, None, **kw)
+            engine = Music2MIDI.from_orbax(p, args.config, **kw)
     else:
         engine = Music2MIDI.from_random(
             seed=0,

@@ -162,13 +162,16 @@ def main() -> None:
     for sub in ("audio", "midi", "metadata"):
         (data_dir / sub).mkdir(parents=True, exist_ok=True)
 
-    rng = np.random.default_rng(args.seed)
     for i in range(args.songs):
         pid = f"synth{i:03d}"
         wav_path = data_dir / "audio" / f"{pid}.wav"
         if wav_path.exists():  # skip-if-exists, like every prep stage
             print(f"{pid}: exists, skipped")
             continue
+        # per-song rng (noise, genre, difficulty): a shared stream would
+        # advance differently when songs are skipped, so a resumed run
+        # would label/noise song i differently than a fresh run
+        rng = np.random.default_rng([args.seed, i])
         song_seed = args.seed * 1000 + i
         score = compose_song(song_seed, args.duration)
         score.write(data_dir / "midi" / f"{pid}.mid")

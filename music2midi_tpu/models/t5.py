@@ -771,11 +771,17 @@ def init_params(
     if isinstance(rng, (int, np.integer)):
         # same entropy words as PRNGKey(seed).key_data -> [hi32, lo32],
         # so int-seed and key-seed callers produce identical params.
-        # PRNGKey converts an int32-range seed through uint32 (hi word 0:
-        # PRNGKey(-1) -> [0, 0xFFFFFFFF]), so negative seeds must wrap,
-        # not sign-extend (SeedSequence rejects negative entropy).
+        # With x64 off (the default), PRNGKey converts an int32-range
+        # seed through uint32 (hi word 0: PRNGKey(-1) -> [0, 0xFFFFFFFF]);
+        # with x64 ON the seed is an int64, so a negative seed
+        # sign-extends before the 32-bit split (PRNGKey(-1) ->
+        # [0xFFFFFFFF, 0xFFFFFFFF]).  Either way SeedSequence rejects
+        # negative entropy, hence the explicit wrapping.
         s = int(rng)
-        if -(2 ** 31) <= s < 2 ** 32:
+        if s < 0 and jax.config.jax_enable_x64:
+            s &= 0xFFFFFFFFFFFFFFFF  # two's-complement int64 view
+            words = [(s >> 32) & 0xFFFFFFFF, s & 0xFFFFFFFF]
+        elif -(2 ** 31) <= s < 2 ** 32:
             words = [0, s & 0xFFFFFFFF]
         else:
             words = [(s >> 32) & 0xFFFFFFFF, s & 0xFFFFFFFF]

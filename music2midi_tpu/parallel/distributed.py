@@ -64,10 +64,20 @@ def maybe_initialize() -> bool:
     kwargs = {}
     if os.environ.get("JAX_NUM_PROCESSES"):
         kwargs["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
-    if os.environ.get("JAX_PROCESS_ID") is not None and os.environ.get(
-        "JAX_PROCESS_ID"
-    ) != "":
+    if os.environ.get("JAX_PROCESS_ID"):
         kwargs["process_id"] = int(os.environ["JAX_PROCESS_ID"])
+    if len(kwargs) == 1:
+        # half a manual launch config would otherwise surface as jax's
+        # opaque "Please specify process_id" (or a coordinator-handshake
+        # hang); fail here, where the pairing is known
+        missing = ({"num_processes", "process_id"} - set(kwargs)).pop()
+        env = {"num_processes": "JAX_NUM_PROCESSES",
+               "process_id": "JAX_PROCESS_ID"}[missing]
+        raise RuntimeError(
+            f"manual jax.distributed launch: {env} must be set when "
+            f"{'JAX_PROCESS_ID' if env == 'JAX_NUM_PROCESSES' else 'JAX_NUM_PROCESSES'}"
+            " is (both or neither of the pair)"
+        )
     jax.distributed.initialize(**kwargs)
     _initialized = True
     _log.info(

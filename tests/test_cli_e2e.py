@@ -206,6 +206,47 @@ def test_train_cli_multi_step_dispatch(mini_dataset, tmp_path, monkeypatch):
         "validation runs at the checkpoint boundary"
 
 
+def test_train_cli_multi_step_no_boundary_eval(mini_dataset, tmp_path,
+                                               monkeypatch):
+    """Consecutive multi-step dispatches with NO checkpoint boundary in
+    between, with --eval_in_train: params-holding pendings must be
+    consumed before the next dispatch (which donates those buffers —
+    make_multi_step donate_argnums=(0,)), and every dispatch must still
+    be scored exactly once."""
+    import json
+
+    from music2midi_tpu.config import load_config
+
+    root, cfg_path = mini_dataset
+    cfg = load_config(cfg_path)
+    cfg.trainer.max_epochs = 8
+    # push the save throttle (max(steps_per_epoch, log_every)) past
+    # max_steps so no mid-run boundary consumes the pending early
+    cfg.trainer.log_every_n_steps = 50
+    nb_cfg = tmp_path / "nb_config.yaml"
+    save_config(cfg, nb_cfg)
+    monkeypatch.setattr(
+        sys, "argv",
+        ["train.py", str(root), "--config", str(nb_cfg), "--name", "nb",
+         "--out_dir", str(tmp_path / "runs"), "--max_steps", "6",
+         "--steps_per_dispatch", "2", "--eval_in_train"],
+    )
+    sys.path.insert(0, "/root/repo")
+    import train as train_cli
+
+    train_cli.main()
+    recs = [
+        json.loads(line)
+        for line in (tmp_path / "runs" / "nb" / "log.jsonl")
+        .read_text().splitlines()
+    ]
+    scored = [r["step"] for r in recs if "train/score" in r]
+    assert scored == [2, 4, 6], \
+        "every dispatch scored exactly once, in order"
+    assert [r["step"] for r in recs if "val/loss" in r] == [6], \
+        "single val at the final save"
+
+
 def test_evaluate_cli(mini_dataset, tmp_path, monkeypatch):
     root, cfg_path = mini_dataset
     monkeypatch.chdir(tmp_path)

@@ -143,3 +143,30 @@ def test_prep_pipeline_end_to_end(prep_dir, monkeypatch):
         [split["train_id"], split["val_id"], split["test_id"]]
     ).tolist())
     assert ids <= {f"song{i}" for i in range(N_SONGS)} and len(ids) >= 3
+
+
+def test_synthesize_corpus_resume_deterministic(tmp_path, monkeypatch):
+    """A resumed synthesize_corpus run (some songs already on disk) must
+    produce byte-identical audio and metadata for the remaining songs as
+    a fresh run with the same seed — per-song rng streams, so
+    skip-if-exists cannot shift which draws a song receives."""
+    fresh, resumed = tmp_path / "fresh", tmp_path / "resumed"
+    argv = ["synthesize_corpus.py", None, "--songs", "3",
+            "--duration", "4", "--seed", "5"]
+    for d in (fresh, resumed):
+        argv[1] = str(d)
+        _run("synthesize_corpus", list(argv), monkeypatch)
+    # simulate a partial run: drop songs 1-2 everywhere, rerun
+    for pid in ("synth001", "synth002"):
+        (resumed / "audio" / f"{pid}.wav").unlink()
+        (resumed / "metadata" / f"{pid}.yaml").unlink()
+        (resumed / "midi" / f"{pid}.mid").unlink()
+    argv[1] = str(resumed)
+    _run("synthesize_corpus", list(argv), monkeypatch)
+    for pid in ("synth000", "synth001", "synth002"):
+        for sub, name in (("audio", f"{pid}.wav"),
+                          ("metadata", f"{pid}.yaml"),
+                          ("midi", f"{pid}.mid")):
+            a = (fresh / sub / name).read_bytes()
+            b = (resumed / sub / name).read_bytes()
+            assert a == b, f"{sub}/{name} differs between fresh and resume"

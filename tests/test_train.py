@@ -253,6 +253,52 @@ def test_distributed_guard_is_noop_single_host(monkeypatch):
     assert distributed.should_initialize() is True
 
 
+def test_distributed_partial_env_triple_rejected(monkeypatch):
+    """Half a manual launch config (NUM_PROCESSES without PROCESS_ID or
+    vice versa) must fail with an error naming the missing variable, not
+    jax's opaque downstream failure / coordinator hang."""
+    from music2midi_tpu.parallel import distributed
+
+    monkeypatch.setattr(distributed, "_initialized", False)
+    monkeypatch.setenv("M2M_DISTRIBUTED", "1")
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "2")
+    monkeypatch.delenv("JAX_PROCESS_ID", raising=False)
+    with pytest.raises(RuntimeError, match="JAX_PROCESS_ID"):
+        distributed.maybe_initialize()
+    monkeypatch.delenv("JAX_NUM_PROCESSES")
+    monkeypatch.setenv("JAX_PROCESS_ID", "0")
+    with pytest.raises(RuntimeError, match="JAX_NUM_PROCESSES"):
+        distributed.maybe_initialize()
+
+
+def test_init_params_int_seed_matches_key():
+    """init_params accepts a plain int seed (no device round trip for
+    cold processes) and must produce the SAME params as the PRNGKey path
+    — including negative seeds, and including under x64 where PRNGKey
+    sign-extends the seed to int64 before the 32-bit split."""
+    import jax
+
+    cfg = t5_config_from(default_config())._replace(
+        num_layers=1, num_decoder_layers=1, d_model=16, d_ff=16, d_kv=4,
+        num_heads=2, vocab_size=8,
+    )
+    for seed in (0, 3, -1):
+        a = init_params(seed, cfg)
+        b = init_params(jax.random.PRNGKey(seed), cfg)
+        jax.tree_util.tree_map(np.testing.assert_array_equal, a, b)
+    jax.config.update("jax_enable_x64", True)
+    try:
+        a = init_params(-1, cfg)
+        b = init_params(jax.random.PRNGKey(-1), cfg)
+    finally:
+        jax.config.update("jax_enable_x64", False)
+    jax.tree_util.tree_map(np.testing.assert_array_equal, a, b)
+    # and x64 negative differs from x64-off negative (sign extension)
+    assert not np.array_equal(
+        a["shared_embedding"], init_params(-1, cfg)["shared_embedding"]
+    )
+
+
 def test_multi_step_equals_single_steps(tiny_setup):
     """make_multi_step's lax.scan over K stacked batches must reproduce K
     make_train_step calls exactly (same rng fold-in, same Adafactor

@@ -249,6 +249,25 @@ def main():
     last_saved = step
     t_start = time.time()
 
+    def run_val(epoch=None):
+        # epoch-cadence validation, shared by both dispatch modes (the
+        # multi-step loop runs it at checkpoint boundaries so
+        # --steps_per_dispatch doesn't drop the val/loss signal that
+        # checkpoints are selected by)
+        vals = [
+            float(eval_fn(state.params, Batch(
+                b.waveform, b.labels, b.cond_index)))
+            for b in val_loader
+        ]
+        if vals:
+            rec = {"step": step, "val/loss": float(np.mean(vals))}
+            if epoch is not None:
+                rec["epoch"] = epoch
+            log(rec)
+
+    def save_ckpt():
+        save_train_state(out_dir / "ckpt", state, config)
+
     if args.steps_per_dispatch > 1:
         from music2midi_tpu.parallel import stacked_batch_sharding
         from music2midi_tpu.train import make_multi_step
@@ -297,18 +316,6 @@ def main():
                 )
             log(rec)
 
-        def run_val():
-            # same epoch-cadence validation as the per-step loop (runs at
-            # checkpoint boundaries; --steps_per_dispatch must not drop
-            # the val/loss signal checkpoints are selected by)
-            vals = [
-                float(eval_fn(state.params, Batch(
-                    b.waveform, b.labels, b.cond_index)))
-                for b in val_loader
-            ]
-            if vals:
-                log({"step": step, "val/loss": float(np.mean(vals))})
-
         stream = batch_stream()
         pending = None  # previous dispatch: (step, losses, n, params, batch)
         while True:
@@ -334,6 +341,13 @@ def main():
                 jax.device_put(stacked.labels, sshard),
                 jax.device_put(stacked.cond_index, sshard),
             )
+            if pending is not None and pending[3] is not None:
+                # eval_in_train pendings hold state.params — the next
+                # multi_fn dispatch DONATES those exact buffers
+                # (make_multi_step donate_argnums=(0,)), so they must be
+                # consumed before the dispatch, not overlapped with it
+                log_group(*pending)
+                pending = None
             state, losses = multi_fn(state, dev, rng)
             step += len(group)
             if pending is not None:
@@ -349,13 +363,13 @@ def main():
                 log_group(*pending)
                 pending = None
                 run_val()
-                save_train_state(out_dir / "ckpt", state, config)
+                save_ckpt()
                 last_saved = step
         if pending is not None:
             log_group(*pending)
         if step > last_saved:
             run_val()
-            save_train_state(out_dir / "ckpt", state, config)
+            save_ckpt()
         log({"step": step, "done": True})
         return
 
@@ -397,22 +411,15 @@ def main():
             # throttled so tiny datasets (one batch per epoch) don't spend
             # the run inside orbax saves
             if step - last_saved >= min_steps_between_saves:
-                val_losses = [
-                    float(eval_fn(state.params, Batch(
-                        b.waveform, b.labels, b.cond_index)))
-                    for b in val_loader
-                ]
-                if val_losses:
-                    log({"step": step, "epoch": epoch,
-                         "val/loss": float(np.mean(val_losses))})
-                save_train_state(out_dir / "ckpt", state, config)
+                run_val(epoch)
+                save_ckpt()
                 last_saved = step
     except StopIteration:
         pass
     # final save: normal max_epochs completion must not drop the last
     # (< min_steps_between_saves) steps
     if step > last_saved:
-        save_train_state(out_dir / "ckpt", state, config)
+        save_ckpt()
     log({"step": step, "done": True})
 
 
