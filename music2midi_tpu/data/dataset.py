@@ -99,14 +99,36 @@ class Music2MIDIDataset:
         ]
         self.cond_indices = [self.metadata.get(pid) for pid in self.piano_ids]
         self._durations = [None] * len(self.piano_ids)
+        # dataset.cache_audio: true -> decode each song ONCE at
+        # dataset.sample_rate and slice windows from RAM.  On single-core
+        # hosts the per-window load+resample is the training-loop
+        # bottleneck (and numpy degrades ~10x while the device runtime is
+        # active — see PERFORMANCE.md "Batch scaling"); caching collapses
+        # staging to a memcpy.  Off by default: per-window loading is the
+        # reference behavior (reference dataset.py:124-129) and full-song
+        # decode trades RAM for it (~230 MB per hour of 16 kHz audio).
+        self._cache_audio = bool(self.config.dataset.get("cache_audio",
+                                                         False))
+        self._waveforms = [None] * len(self.piano_ids)
 
     def __len__(self) -> int:
         return len(self.piano_ids)
 
     def _duration(self, index: int) -> float:
         if self._durations[index] is None:
-            self._durations[index] = get_duration(self.audio_paths[index])
+            if self._cache_audio:
+                sr = int(self.config.dataset.sample_rate)
+                self._durations[index] = len(self._waveform(index)) / sr
+            else:
+                self._durations[index] = get_duration(self.audio_paths[index])
         return self._durations[index]
+
+    def _waveform(self, index: int) -> np.ndarray:
+        if self._waveforms[index] is None:
+            w, _ = load(self.audio_paths[index],
+                        sr=int(self.config.dataset.sample_rate))
+            self._waveforms[index] = np.asarray(w, dtype=np.float32)
+        return self._waveforms[index]
 
     def __getitem__(self, index: int, rng: Optional[np.random.Generator] = None):
         """-> (waveform f32, notes (N,4), cond list[int]).  Randomness uses
@@ -135,12 +157,22 @@ class Music2MIDIDataset:
             raise RuntimeError(
                 f"no valid {seg}s window in {self.piano_ids[index]}"
             )
-        waveform, sr = load(
-            self.audio_paths[index],
-            sr=int(cfg.sample_rate),
-            offset=start_time,
-            duration=seg,
-        )
+        sr = int(cfg.sample_rate)
+        if self._cache_audio:
+            # window = RAM slice of the once-decoded song.  When the file
+            # needs resampling this differs from per-window load by the
+            # resampler's window-edge transient only (training windows are
+            # augmentation fodder, not a parity surface).
+            full = self._waveform(index)
+            i0 = int(round(start_time * sr))
+            waveform = full[i0:i0 + int(round(seg * sr))].copy()
+        else:
+            waveform, sr = load(
+                self.audio_paths[index],
+                sr=sr,
+                offset=start_time,
+                duration=seg,
+            )
         target_len = int(round(seg * int(cfg.sample_rate)))
         if len(waveform) < target_len:
             waveform = np.pad(waveform, (0, target_len - len(waveform)))

@@ -92,6 +92,28 @@ def test_dataset_and_loader(mini_dataset):
     assert b.cond_index.shape == (2, 2)
 
 
+def test_dataset_cache_audio_matches_per_window_load(mini_dataset):
+    """dataset.cache_audio slices the once-decoded song from RAM; when the
+    file is already at dataset.sample_rate (no resampler edge transient)
+    every window must be bit-identical to the per-window load path."""
+    from music2midi_tpu.config import load_config
+    from music2midi_tpu.data import Music2MIDIDataset
+
+    root, cfg_path = mini_dataset
+    split = np.load(root / "dataset_split.npz", allow_pickle=True)
+    cold = Music2MIDIDataset(root, split["train_id"], str(cfg_path))
+    cached_cfg = load_config(cfg_path)
+    cached_cfg.dataset.cache_audio = True
+    hot = Music2MIDIDataset(root, split["train_id"], cached_cfg)
+    for idx in range(len(cold)):
+        for seed in (0, 1):
+            w0, n0, c0 = cold.__getitem__(idx, np.random.default_rng(seed))
+            w1, n1, c1 = hot.__getitem__(idx, np.random.default_rng(seed))
+            np.testing.assert_array_equal(w0, w1)
+            np.testing.assert_array_equal(n0, n1)
+            assert c0 == c1
+
+
 def test_dataset_multiprocess_loader(mini_dataset):
     from music2midi_tpu.data import DataLoader, Music2MIDIDataset
 
