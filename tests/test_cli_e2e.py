@@ -139,8 +139,13 @@ def test_train_cli(mini_dataset, tmp_path, monkeypatch):
     train_cli.main()
     ckpts = list((tmp_path / "runs" / "t" / "ckpt").glob("step_*"))
     assert ckpts, "checkpoint written"
+    # the first val loss of a run is always the best-so-far -> ckpt_best
+    # must exist alongside the latest ckpt and be loadable
+    assert list((tmp_path / "runs" / "t" / "ckpt_best").glob("step_*")), \
+        "best-val checkpoint written"
     log = (tmp_path / "runs" / "t" / "log.jsonl").read_text()
     assert "train/loss" in log and "train/score" in log
+    assert "val/is_best" in log
 
 
 def test_train_cli_bf16(mini_dataset, tmp_path, monkeypatch):

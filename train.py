@@ -249,20 +249,34 @@ def main():
     last_saved = step
     t_start = time.time()
 
+    # best-val checkpoint selection: out_dir/ckpt is always the LATEST
+    # state (resume target); out_dir/ckpt_best tracks the lowest val loss
+    # seen THIS RUN so a long run that overfits late still leaves its best
+    # model on disk.  Beyond the reference (Lightning defaults keep only
+    # the last epoch, reference train.py:40-41); the released checkpoint
+    # name epoch=799-step=119200 is a last-epoch artifact.
+    best_val = float("inf")
+
     def run_val(epoch=None):
         # epoch-cadence validation, shared by both dispatch modes (the
         # multi-step loop runs it at checkpoint boundaries so
         # --steps_per_dispatch doesn't drop the val/loss signal that
         # checkpoints are selected by)
+        nonlocal best_val
         vals = [
             float(eval_fn(state.params, Batch(
                 b.waveform, b.labels, b.cond_index)))
             for b in val_loader
         ]
         if vals:
-            rec = {"step": step, "val/loss": float(np.mean(vals))}
+            mean = float(np.mean(vals))
+            rec = {"step": step, "val/loss": mean}
             if epoch is not None:
                 rec["epoch"] = epoch
+            if mean < best_val:
+                best_val = mean
+                save_train_state(out_dir / "ckpt_best", state, config)
+                rec["val/is_best"] = True
             log(rec)
 
     def save_ckpt():
@@ -417,8 +431,11 @@ def main():
     except StopIteration:
         pass
     # final save: normal max_epochs completion must not drop the last
-    # (< min_steps_between_saves) steps
+    # (< min_steps_between_saves) steps; the closing val pass scores the
+    # final params (and seeds ckpt_best on short runs that never crossed
+    # an epoch boundary), mirroring the multi-step path's exit sequence
     if step > last_saved:
+        run_val()
         save_ckpt()
     log({"step": step, "done": True})
 
