@@ -53,6 +53,11 @@ class DecodeConfig(NamedTuple):
     # was an artifact of a broken timing protocol (block_until_ready does
     # not force execution through the relay) plus the unpadded cross-KV
     # masking the bandwidth win.
+    quantize_weights: bool = False  # int8 weight-only quantization of
+    # every decode projection (models/t5.py:_quantize_w, per-column
+    # scales).  Serving mode: at small batch the weight reads are
+    # comparable to the int8 KV reads, so this halves the remaining
+    # weight-side HBM traffic of the bandwidth-bound step.
     pallas_attention: bool = False  # fused Pallas kernel for the int8
     # attention blocks (ops/decode_attention.py).  EXPERIMENT, keep off:
     # measured 514 us/call vs the XLA chain's 153 us (VMEM ceiling forces
@@ -122,8 +127,11 @@ def generate_tokens(
         dcfg.pallas_attention and jax.default_backend() == "tpu"
     )
     # one-time decode weight prep: pre-cast to cfg.dtype + fused qkv/wi
-    # (the while_loop then reads half the weight bytes per step)
-    dparams = prepare_decode_params(params, cfg)
+    # (the while_loop then reads half the weight bytes per step); int8
+    # weight-only quantization on top when dcfg.quantize_weights
+    dparams = prepare_decode_params(
+        params, cfg, quantize_weights=dcfg.quantize_weights
+    )
     # precompute the relative-position bias for every (step, key) pair —
     # ~12 XLA bucket-math ops per step otherwise, and per-op issue
     # overhead is real on this stack (PERFORMANCE.md)

@@ -115,6 +115,10 @@ class Music2MIDI:
         # (non-fp32 dtype), off in the fp32 bit-parity mode.  Set to
         # True/False to override.
         self.int8_kv: Optional[bool] = None
+        # int8 weight-only quantization of the decode projections
+        # (models/t5.py:_quantize_w).  OFF by default pending a measured
+        # quality/latency result on a trained model; set True to enable.
+        self.int8_weights: bool = False
         # sampling decode variants (BASELINE config 3): 0.0 => greedy
         # (the parity mode); set temperature/top_k for stochastic covers
         self.temperature: float = 0.0
@@ -276,6 +280,7 @@ class Music2MIDI:
             suppress_tokens=self.suppress_tokens,
             quantize_cross_kv=bool(int8),
             quantize_self_kv=bool(int8),
+            quantize_weights=bool(self.int8_weights),
         )
 
     def _bucket(self, n: int) -> int:

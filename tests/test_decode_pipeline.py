@@ -330,6 +330,41 @@ def test_quantized_self_kv(setup):
     np.testing.assert_allclose(folded, ref, atol=1e-4)
 
 
+def test_quantized_weights(setup):
+    """int8 weight-only quantization (flag-gated, default off): decode
+    runs end to end, the per-column quantization error is bounded by
+    half a quantization step, and the folded-scale projection matches
+    the dequantize-then-project reference."""
+    import jax.numpy as jnp
+
+    from music2midi_tpu.models.t5 import _proj, _quantize_w
+
+    params, cfg, enc = setup
+    b, _ = generate_tokens(
+        params, enc, cfg,
+        DecodeConfig(max_length=24, quantize_weights=True,
+                     quantize_self_kv=True, quantize_cross_kv=True),
+    )
+    b = np.asarray(b)
+    assert b.shape == (3, 24) and (b[:, 0] == 1).all()
+
+    rng = np.random.default_rng(2)
+    w = jnp.asarray(rng.normal(size=(96, 48)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(2, 1, 96)).astype(np.float32))
+    vals, scale = _quantize_w(w)
+    assert vals.dtype == jnp.int8 and scale.shape == (48,)
+    # symmetric rounding: |w - vals*scale| <= scale/2 per column
+    err = np.abs(np.asarray(w) - np.asarray(vals, np.float32)
+                 * np.asarray(scale))
+    assert (err <= np.asarray(scale) / 2 + 1e-7).all()
+    # folded-scale projection == projecting through dequantized weights
+    folded = np.asarray(_proj(x, (vals, scale), jnp.float32))
+    ref = np.asarray(_proj(
+        x, jnp.asarray(vals, jnp.float32) * scale, jnp.float32
+    ))
+    np.testing.assert_allclose(folded, ref, rtol=1e-5, atol=1e-5)
+
+
 def test_cross_kv_lane_padding_exact(setup):
     """Lane-padded cross-KV (190 -> 256 columns + mask) must be
     bit-identical to unpadded attention: -1e9 pad scores underflow to
