@@ -60,6 +60,11 @@ def parse_args():
              ".ckpt trained with a non-default architecture",
     )
     p.add_argument(
+        "--int8_weights", action="store_true",
+        help="int8 weight-only quantization of the decode projections "
+             "(models/t5.py:_quantize_w) on top of the serving defaults",
+    )
+    p.add_argument(
         "--audio_dir", type=str, default=os.environ.get("M2M_BENCH_AUDIO"),
         help="directory of .wav songs for the trained-mode workload "
              "(default: synthetic sines, as in the random-weights mode); "
@@ -105,6 +110,8 @@ def main() -> None:
         # the argmax whenever sum(hidden) < 0 and let decode exit early,
         # inflating the benchmark)
         engine.suppress_tokens = (engine.t5_config.eos_token_id,)
+    if args.int8_weights:
+        engine.int8_weights = True
     engine.params = jax.device_put(engine.params)
 
     sr = int(engine.config.model.sample_rate)
@@ -169,6 +176,7 @@ def main() -> None:
         "unit": "3min_songs/min/chip",
         "vs_baseline": round(songs_per_min / 6.25, 3),
         "mode": "trained_eos" if args.ckpt else "random_forced256",
+        "int8_weights": bool(args.int8_weights),
         "n_notes": n_notes,
         "p50_song_latency_s": round(p50_latency, 3),
         "spread": {

@@ -47,6 +47,10 @@ def main():
     parser.add_argument("--dtype", type=str, default="float32",
                         choices=["float32", "bfloat16"])
     parser.add_argument(
+        "--int8_weights", action="store_true",
+        help="int8 weight-only quantization of the decode projections "
+             "(serving-mode ablation; models/t5.py:_quantize_w)")
+    parser.add_argument(
         "--split", type=str, default="test",
         choices=["test", "val", "train"],
         help="which dataset_split ids to score (test = the reference "
@@ -60,6 +64,8 @@ def main():
     split = np.load(data_dir / "dataset_split.npz", allow_pickle=True)
     test_ids = split[f"{args.split}_id"]
     engine = load_engine(args.ckpt, args.config, args.dtype)
+    if args.int8_weights:
+        engine.int8_weights = True
 
     logs = []
     for i, piano_id in enumerate(test_ids):
