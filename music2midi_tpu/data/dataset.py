@@ -237,11 +237,17 @@ class DataLoader:
         self.shuffle = shuffle
         self.seed = seed
         self.drop_last = drop_last
-        if self.num_workers > 0 and not use_processes:
+        augment = bool(dataset.config.dataset.get("augment", True))
+        if self.num_workers > 0 and not use_processes and augment:
             # The thread pool only parallelizes pitch_shift when the C++ DSP
             # (which releases the GIL) is built; the numpy fallback holds the
             # GIL and would silently serialize the most expensive host op.
             # Fall back to the spawn-context process pool in that case.
+            # Gated on augment: with augment off pitch_shift never runs, and
+            # spawn workers would silently defeat dataset.cache_audio (each
+            # worker pool is rebuilt per epoch, so every worker re-decodes
+            # its own copy of the corpus every epoch — RAM x num_workers and
+            # the exact load-bound loop the cache exists to remove).
             from .. import native
 
             if not native.available():
@@ -253,6 +259,16 @@ class DataLoader:
                     "switching DataLoader to spawn process workers"
                 )
                 use_processes = True
+        if use_processes and dataset._cache_audio:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "dataset.cache_audio with process workers: the audio cache "
+                "is per-worker and rebuilt every epoch (pools are "
+                "re-spawned per __iter__) — expect RAM x num_workers and "
+                "full re-decodes; prefer thread workers (or num_workers=0) "
+                "when caching"
+            )
         self.use_processes = use_processes
         self.tokenizer = MidiTokenizer(dataset.config)
         self.epoch = 0

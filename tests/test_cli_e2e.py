@@ -125,6 +125,31 @@ def test_dataset_multiprocess_loader(mini_dataset):
     assert len(batches) == 2
 
 
+def test_loader_gil_fallback_gated_on_augment(mini_dataset, monkeypatch):
+    """The spawn-process fallback exists only because pitch_shift holds the
+    GIL without the native DSP lib.  With augment off pitch_shift never
+    runs, so the loader must stay on thread workers — spawn workers would
+    silently defeat dataset.cache_audio (per-worker caches rebuilt every
+    epoch)."""
+    from music2midi_tpu import native
+    from music2midi_tpu.config import load_config
+    from music2midi_tpu.data import DataLoader, Music2MIDIDataset
+
+    root, cfg_path = mini_dataset
+    split = np.load(root / "dataset_split.npz", allow_pickle=True)
+    monkeypatch.setattr(native, "available", lambda: False)
+
+    ds = Music2MIDIDataset(root, split["train_id"], str(cfg_path))
+    assert DataLoader(ds, num_workers=2).use_processes, \
+        "augment on + no native DSP -> spawn fallback"
+
+    cfg = load_config(cfg_path)
+    cfg.dataset.augment = False
+    ds_plain = Music2MIDIDataset(root, split["train_id"], cfg)
+    assert not DataLoader(ds_plain, num_workers=2).use_processes, \
+        "augment off -> thread workers even without native DSP"
+
+
 def test_train_cli(mini_dataset, tmp_path, monkeypatch):
     root, cfg_path = mini_dataset
     monkeypatch.setattr(
@@ -146,6 +171,46 @@ def test_train_cli(mini_dataset, tmp_path, monkeypatch):
     log = (tmp_path / "runs" / "t" / "log.jsonl").read_text()
     assert "train/loss" in log and "train/score" in log
     assert "val/is_best" in log
+
+
+def test_train_cli_resume_keeps_best_val_bar(mini_dataset, tmp_path,
+                                             monkeypatch):
+    """A --ckpt resume must seed the best-val bar from
+    ckpt_best/best_val.json — without it the resumed run's first
+    validation always 'wins' and keep=3 pruning can delete the genuinely
+    best checkpoint."""
+    import json
+
+    root, cfg_path = mini_dataset
+    out = tmp_path / "runs"
+    argv = ["train.py", str(root), "--config", str(cfg_path), "--name",
+            "r", "--out_dir", str(out), "--max_steps", "2"]
+    monkeypatch.setattr(sys, "argv", argv)
+    sys.path.insert(0, "/root/repo")
+    import train as train_cli
+
+    train_cli.main()
+    bar_file = out / "r" / "ckpt_best" / "best_val.json"
+    assert bar_file.exists(), "best-val bar persisted next to ckpt_best"
+    recorded = json.loads(bar_file.read_text())
+    assert recorded["val_loss"] > 0
+
+    # poison the bar with an unbeatable value; the resumed run must NOT
+    # mark any validation as best
+    bar_file.write_text(json.dumps({"val_loss": 1e-9, "step": 2}))
+    log_path = out / "r" / "log.jsonl"
+    n_lines_before = len(log_path.read_text().splitlines())
+    monkeypatch.setattr(
+        sys, "argv",
+        argv + ["--max_steps", "4", "--ckpt", str(out / "r" / "ckpt")],
+    )
+    train_cli.main()
+    appended = log_path.read_text().splitlines()[n_lines_before:]
+    val_recs = [json.loads(x) for x in appended if "val/loss" in x]
+    assert val_recs, "resumed run validated"
+    assert not any(r.get("val/is_best") for r in val_recs), \
+        "resumed run respected the persisted best-val bar"
+    assert json.loads(bar_file.read_text())["val_loss"] == 1e-9
 
 
 def test_train_cli_bf16(mini_dataset, tmp_path, monkeypatch):

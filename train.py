@@ -251,11 +251,25 @@ def main():
 
     # best-val checkpoint selection: out_dir/ckpt is always the LATEST
     # state (resume target); out_dir/ckpt_best tracks the lowest val loss
-    # seen THIS RUN so a long run that overfits late still leaves its best
-    # model on disk.  Beyond the reference (Lightning defaults keep only
-    # the last epoch, reference train.py:40-41); the released checkpoint
-    # name epoch=799-step=119200 is a last-epoch artifact.
+    # seen across the run AND its --ckpt resumes, so a long run that
+    # overfits late still leaves its best model on disk.  Beyond the
+    # reference (Lightning defaults keep only the last epoch, reference
+    # train.py:40-41); the released checkpoint name epoch=799-step=119200
+    # is a last-epoch artifact.
+    #
+    # The bar is persisted in ckpt_best/best_val.json: without it, a
+    # resumed run restarts at best_val=inf, its first validation
+    # unconditionally "wins", and save_train_state's keep=3 pruning can
+    # delete the genuinely-best earlier checkpoint.
     best_val = float("inf")
+    best_val_file = out_dir / "ckpt_best" / "best_val.json"
+    if args.ckpt and best_val_file.exists():
+        try:
+            best_val = float(json.loads(
+                best_val_file.read_text())["val_loss"])
+            print(f"resumed best-val bar: {best_val:.6f}")
+        except (ValueError, KeyError) as e:
+            print(f"ignoring unreadable {best_val_file}: {e!r}")
 
     def run_val(epoch=None):
         # epoch-cadence validation, shared by both dispatch modes (the
@@ -276,6 +290,8 @@ def main():
             if mean < best_val:
                 best_val = mean
                 save_train_state(out_dir / "ckpt_best", state, config)
+                best_val_file.write_text(json.dumps(
+                    {"val_loss": mean, "step": step}))
                 rec["val/is_best"] = True
             log(rec)
 
