@@ -97,6 +97,48 @@ def save_params(
         (ckpt_dir / "config.json").write_text(json.dumps(config.to_dict()))
 
 
+def average_params(
+    sources, weights=None
+) -> Tuple[object, Optional[ConfigNode]]:
+    """Uniform (or `weights`-weighted) average of the param trees from
+    `sources` — each anything `restore_params` accepts (a `save_params`
+    export, a training ckpt root, or a step_N dir).
+
+    Checkpoint averaging is the classic cheap quality lever for
+    T5-family models (the original T5 release shipped averaged
+    checkpoints); with `train.py` keeping the last 3 periodic
+    checkpoints plus `ckpt_best`, the inputs are already on disk at the
+    end of every run.  Accumulates in float64, returns each leaf at its
+    original dtype; the config comes from the first source that has one
+    and every source must agree on tree structure.
+    """
+    if not sources:
+        raise ValueError("average_params: no sources")
+    if weights is None:
+        weights = [1.0] * len(sources)
+    if len(weights) != len(sources):
+        raise ValueError("average_params: len(weights) != len(sources)")
+    total = float(sum(weights))
+    acc, cfg, treedef0 = None, None, None
+    for src, w in zip(sources, weights):
+        params, src_cfg = restore_params(src)
+        cfg = cfg if cfg is not None else src_cfg
+        leaves, treedef = jax.tree.flatten(params)
+        if treedef0 is None:
+            treedef0 = treedef
+            acc = [np.zeros(l.shape, np.float64) for l in leaves]
+            dtypes = [np.asarray(l).dtype for l in leaves]
+        elif treedef != treedef0:
+            raise ValueError(
+                f"average_params: tree structure of {src} differs from "
+                f"{sources[0]}"
+            )
+        for a, l in zip(acc, leaves):
+            a += (w / total) * np.asarray(l, np.float64)
+    mean = [a.astype(d) for a, d in zip(acc, dtypes)]
+    return jax.tree.unflatten(treedef0, mean), cfg
+
+
 def restore_params(
     ckpt_dir: Union[str, Path]
 ) -> Tuple[object, Optional[ConfigNode]]:

@@ -149,6 +149,68 @@ def test_checkpoint_roundtrip(tiny_setup, tmp_path):
     )
 
 
+def test_average_checkpoints(tiny_setup, tmp_path, monkeypatch):
+    """average_params: uniform mean of N exports, weighted mean, config
+    carry-through, and the tools/ CLI writing a loadable export."""
+    import jax
+
+    t5_cfg, mel_cfg, params, batch = tiny_setup
+    from music2midi_tpu.train.checkpoint import (
+        average_params,
+        restore_params,
+        save_params,
+    )
+
+    cfg = default_config()
+    p0 = params
+    p1 = jax.tree.map(lambda x: np.asarray(x) + 1.0, params)
+    save_params(tmp_path / "a", p0, cfg)
+    save_params(tmp_path / "b", p1)
+
+    mean, got_cfg = average_params([tmp_path / "a", tmp_path / "b"])
+    assert got_cfg is not None and got_cfg.model.t5.d_model == 384
+    jax.tree.map(
+        lambda m, x: np.testing.assert_allclose(
+            np.asarray(m), np.asarray(x) + 0.5, rtol=1e-6, atol=1e-6
+        ),
+        mean,
+        p0,
+    )
+    # dtype preserved
+    assert (
+        jax.tree.leaves(mean)[0].dtype == np.asarray(
+            jax.tree.leaves(p0)[0]).dtype
+    )
+
+    # weighted: 3:1 toward b -> p0 + 0.75
+    wmean, _ = average_params(
+        [tmp_path / "a", tmp_path / "b"], weights=[1.0, 3.0]
+    )
+    leaf_w = np.asarray(jax.tree.leaves(wmean)[0])
+    leaf_0 = np.asarray(jax.tree.leaves(p0)[0])
+    np.testing.assert_allclose(leaf_w, leaf_0 + 0.75, rtol=1e-6, atol=1e-6)
+
+    # CLI writes an export restore_params can load
+    import runpy
+    import sys
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["average_checkpoints.py", str(tmp_path / "avg"),
+         str(tmp_path / "a"), str(tmp_path / "b")],
+    )
+    runpy.run_path("tools/average_checkpoints.py", run_name="__main__")
+    loaded, loaded_cfg = restore_params(tmp_path / "avg")
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=0
+        ),
+        loaded,
+        mean,
+    )
+    assert loaded_cfg is not None
+
+
 def test_sharded_train_step_8dev(tiny_setup):
     """Full dp x tp pjit step on the 8-device CPU mesh."""
     import jax
