@@ -83,6 +83,46 @@ def test_plot_evaluation_empty_output(tmp_path):
     assert "FN" in html
 
 
+def test_plot_training_curves(tmp_path):
+    """tools/plot_training.py: parse a train.py log.jsonl (including a
+    garbled line from a killed run) and render overlaid curves."""
+    import json
+    import runpy
+    import sys
+
+    for name, scale in (("runA", 1.0), ("runB", 0.8)):
+        run = tmp_path / name
+        run.mkdir()
+        lines = []
+        for step in range(100, 1100, 100):
+            lines.append(json.dumps(
+                {"step": step, "train/loss": scale * 100.0 / step}))
+            if step % 500 == 0:
+                lines.append(json.dumps({
+                    "step": step, "val/loss": scale * 110.0 / step,
+                    "val/is_best": True,
+                }))
+        lines.append('{"step": 1100, "train/l')  # torn tail write
+        (run / "log.jsonl").write_text("\n".join(lines))
+
+    from tools.plot_training import read_log
+
+    curves = read_log(tmp_path / "runA")
+    assert len(curves["train"]) == 10
+    assert len(curves["val"]) == 2 and len(curves["best"]) == 2
+
+    out = tmp_path / "curves.png"
+    argv = ["plot_training.py", str(tmp_path / "runA"),
+            str(tmp_path / "runB"), "--out", str(out)]
+    old = sys.argv
+    sys.argv = argv
+    try:
+        runpy.run_path("tools/plot_training.py", run_name="__main__")
+    finally:
+        sys.argv = old
+    assert out.exists() and out.stat().st_size > 1000
+
+
 def test_extract_melody():
     from music2midi_tpu.plot_midi import extract_melody_from_piano_roll
 
