@@ -23,6 +23,7 @@ native C++ kernel can be swapped in via music2midi_tpu.dsp.
 from __future__ import annotations
 
 import os
+import threading
 from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 from pathlib import Path
 from typing import Iterator, List, Optional, Sequence, Union
@@ -110,9 +111,43 @@ class Music2MIDIDataset:
         self._cache_audio = bool(self.config.dataset.get("cache_audio",
                                                          False))
         self._waveforms = [None] * len(self.piano_ids)
+        # dataset.cache_augment_mb: > 0 -> memoize AUGMENTED windows.
+        # The window grid is discrete (start times on a segment_duration
+        # grid, transpose an integer in [-6, +5], normalize a coin flip),
+        # so (song, window, normalize?, semitones) is a finite key space
+        # and the phase vocoder — the dominant host op per sample, ~2.6x
+        # step time on a 1-core host (PERFORMANCE.md) — recomputes the
+        # same shifted window over and over.  Entries store the exact
+        # uncached result (normalize-then-shift order preserved), so a
+        # cached epoch is bit-identical to an uncached one; FIFO eviction
+        # bounds RAM at ~cache_augment_mb.  Off by default: the reference
+        # recomputes per window, and per-process caches under spawn
+        # workers multiply RAM (prefer thread workers, as with
+        # cache_audio).
+        self._aug_cache_cap = int(
+            float(self.config.dataset.get("cache_augment_mb", 0)) * 2**20
+        )
+        self._aug_cache = {} if self._aug_cache_cap > 0 else None
+        self._aug_cache_bytes = 0
+        self._aug_cache_lock = threading.Lock()
+        self.aug_cache_hits = 0
+        self.aug_cache_misses = 0
 
     def __len__(self) -> int:
         return len(self.piano_ids)
+
+    def __getstate__(self):
+        # spawn workers pickle the dataset: the lock is unpicklable and the
+        # augment cache would ship a copy per worker — send it empty.
+        state = self.__dict__.copy()
+        state["_aug_cache_lock"] = None
+        state["_aug_cache"] = {} if self._aug_cache is not None else None
+        state["_aug_cache_bytes"] = 0
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self._aug_cache_lock = threading.Lock()
 
     def _duration(self, index: int) -> float:
         if self._durations[index] is None:
@@ -183,11 +218,37 @@ class Music2MIDIDataset:
         # vocoder is the dominant host cost and transposition only slows
         # convergence on a tiny corpus.
         if bool(cfg.get("augment", True)):
-            if rng.random() < 0.5:
-                waveform = normalize(waveform)
+            do_norm = rng.random() < 0.5
             step = int(rng.integers(-6, 6))
+            cached = None
+            key = (index, int(round(start_time * sr)), do_norm, step)
+            if self._aug_cache is not None:
+                with self._aug_cache_lock:
+                    cached = self._aug_cache.get(key)
+            if cached is not None:
+                self.aug_cache_hits += 1
+                waveform = cached.copy()
+            else:
+                self.aug_cache_misses += 1
+                if do_norm:
+                    waveform = normalize(waveform)
+                if step != 0:
+                    waveform = pitch_shift(waveform, sr, step)
+                if self._aug_cache is not None:
+                    entry = waveform.copy()
+                    with self._aug_cache_lock:
+                        prev = self._aug_cache.pop(key, None)
+                        if prev is not None:  # concurrent double-miss
+                            self._aug_cache_bytes -= prev.nbytes
+                        self._aug_cache[key] = entry
+                        self._aug_cache_bytes += entry.nbytes
+                        while (self._aug_cache_bytes > self._aug_cache_cap
+                               and len(self._aug_cache) > 1):
+                            old = next(iter(self._aug_cache))
+                            self._aug_cache_bytes -= (
+                                self._aug_cache.pop(old).nbytes
+                            )
             if step != 0:
-                waveform = pitch_shift(waveform, sr, step)
                 notes_segment[:, 2] += step
         return waveform, notes_segment, self.cond_indices[index]
 

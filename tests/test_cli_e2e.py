@@ -114,6 +114,76 @@ def test_dataset_cache_audio_matches_per_window_load(mini_dataset):
             assert c0 == c1
 
 
+def test_dataset_augment_cache_bit_identical(mini_dataset):
+    """dataset.cache_augment_mb memoizes augmented windows on the discrete
+    (song, window, normalize?, semitone) grid; entries store the exact
+    uncached result, so cached epochs must be bit-identical to uncached
+    ones — including on cache HITS (second pass)."""
+    from music2midi_tpu.config import load_config
+    from music2midi_tpu.data import Music2MIDIDataset
+
+    root, cfg_path = mini_dataset
+    split = np.load(root / "dataset_split.npz", allow_pickle=True)
+    cold = Music2MIDIDataset(root, split["train_id"], str(cfg_path))
+    cfg = load_config(cfg_path)
+    cfg.dataset.cache_augment_mb = 64
+    hot = Music2MIDIDataset(root, split["train_id"], cfg)
+    for _pass in range(2):  # second pass exercises cache hits
+        for idx in range(len(cold)):
+            for seed in (0, 1, 2):
+                w0, n0, c0 = cold.__getitem__(
+                    idx, np.random.default_rng(seed))
+                w1, n1, c1 = hot.__getitem__(
+                    idx, np.random.default_rng(seed))
+                np.testing.assert_array_equal(w0, w1)
+                np.testing.assert_array_equal(n0, n1)
+                assert c0 == c1
+    assert hot.aug_cache_hits > 0  # the grid repeated, so the cache hit
+    assert cold._aug_cache is None  # off by default
+
+
+def test_dataset_augment_cache_evicts_to_cap(mini_dataset):
+    """A tiny byte cap must bound the cache (FIFO eviction) while results
+    stay correct."""
+    from music2midi_tpu.config import load_config
+    from music2midi_tpu.data import Music2MIDIDataset
+
+    root, cfg_path = mini_dataset
+    cfg = load_config(cfg_path)
+    # one 3 s * 22050 Hz float32 window is ~258 KiB; cap at ~2 entries
+    cfg.dataset.cache_augment_mb = 0.5
+    split = np.load(root / "dataset_split.npz", allow_pickle=True)
+    ds = Music2MIDIDataset(root, split["train_id"], cfg)
+    for idx in range(len(ds)):
+        for seed in range(4):
+            ds.__getitem__(idx, np.random.default_rng(seed))
+    assert ds._aug_cache_bytes <= ds._aug_cache_cap or len(ds._aug_cache) <= 1
+    assert len(ds._aug_cache) <= 3
+
+
+def test_dataset_augment_cache_survives_pickle(mini_dataset):
+    """Spawn workers pickle the dataset: the lock must not ship, the cache
+    must arrive empty, and the clone must still work (and re-cache)."""
+    import pickle
+
+    from music2midi_tpu.config import load_config
+    from music2midi_tpu.data import Music2MIDIDataset
+
+    root, cfg_path = mini_dataset
+    cfg = load_config(cfg_path)
+    cfg.dataset.cache_augment_mb = 64
+    split = np.load(root / "dataset_split.npz", allow_pickle=True)
+    ds = Music2MIDIDataset(root, split["train_id"], cfg)
+    ds.__getitem__(0, np.random.default_rng(0))  # populate
+    clone = pickle.loads(pickle.dumps(ds))
+    assert clone._aug_cache == {} and clone._aug_cache_bytes == 0
+    w0, n0, _ = ds.__getitem__(1, np.random.default_rng(7))
+    w1, n1, _ = clone.__getitem__(1, np.random.default_rng(7))
+    np.testing.assert_array_equal(w0, w1)
+    np.testing.assert_array_equal(n0, n1)
+    assert len(clone._aug_cache) > 0
+
+
 def test_dataset_multiprocess_loader(mini_dataset):
     from music2midi_tpu.data import DataLoader, Music2MIDIDataset
 
