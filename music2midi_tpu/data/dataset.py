@@ -138,11 +138,16 @@ class Music2MIDIDataset:
 
     def __getstate__(self):
         # spawn workers pickle the dataset: the lock is unpicklable and the
-        # augment cache would ship a copy per worker — send it empty.
+        # augment cache would ship a copy per worker — send it empty.  The
+        # decoded-audio cache is likewise scrubbed: a populated corpus
+        # (~230 MB per hour of 16 kHz audio) would otherwise be serialized
+        # to every worker on every epoch's pool spawn; workers re-decode
+        # lazily instead (the documented cache_audio × spawn caveat).
         state = self.__dict__.copy()
         state["_aug_cache_lock"] = None
         state["_aug_cache"] = {} if self._aug_cache is not None else None
         state["_aug_cache_bytes"] = 0
+        state["_waveforms"] = [None] * len(self._waveforms)
         return state
 
     def __setstate__(self, state):
@@ -222,19 +227,25 @@ class Music2MIDIDataset:
             step = int(rng.integers(-6, 6))
             cached = None
             key = (index, int(round(start_time * sr)), do_norm, step)
-            if self._aug_cache is not None:
+            # step == 0 windows skip the cache: no phase vocoder ran, so
+            # memoizing them only spends capacity (and two full-window
+            # copies) on entries that are nearly free to recompute.
+            use_cache = self._aug_cache is not None and step != 0
+            if use_cache:
                 with self._aug_cache_lock:
                     cached = self._aug_cache.get(key)
+                    if cached is not None:
+                        self.aug_cache_hits += 1
+                    else:
+                        self.aug_cache_misses += 1
             if cached is not None:
-                self.aug_cache_hits += 1
                 waveform = cached.copy()
             else:
-                self.aug_cache_misses += 1
                 if do_norm:
                     waveform = normalize(waveform)
                 if step != 0:
                     waveform = pitch_shift(waveform, sr, step)
-                if self._aug_cache is not None:
+                if use_cache:
                     entry = waveform.copy()
                     with self._aug_cache_lock:
                         prev = self._aug_cache.pop(key, None)
@@ -329,6 +340,17 @@ class DataLoader:
                 "re-spawned per __iter__) — expect RAM x num_workers and "
                 "full re-decodes; prefer thread workers (or num_workers=0) "
                 "when caching"
+            )
+        if use_processes and dataset._aug_cache is not None:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "dataset.cache_augment_mb with process workers: the "
+                "dataset pickles its augment cache EMPTY and worker pools "
+                "are re-spawned per epoch, so the cache never warms and "
+                "every window re-runs the phase vocoder; prefer thread "
+                "workers (build the native DSP: `make -C native`) or "
+                "num_workers=0 when memoizing augmented windows"
             )
         self.use_processes = use_processes
         self.tokenizer = MidiTokenizer(dataset.config)

@@ -119,6 +119,11 @@ def average_params(
     if len(weights) != len(sources):
         raise ValueError("average_params: len(weights) != len(sources)")
     total = float(sum(weights))
+    if not np.isfinite(total) or total <= 0.0:
+        raise ValueError(
+            f"average_params: weights must sum to a finite positive "
+            f"value, got {total} from {list(weights)}"
+        )
     acc, cfg, treedef0 = None, None, None
     for src, w in zip(sources, weights):
         params, src_cfg = restore_params(src)

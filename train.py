@@ -268,7 +268,7 @@ def main():
             best_val = float(json.loads(
                 best_val_file.read_text())["val_loss"])
             print(f"resumed best-val bar: {best_val:.6f}")
-        except (ValueError, KeyError) as e:
+        except (ValueError, KeyError, TypeError) as e:
             print(f"ignoring unreadable {best_val_file}: {e!r}")
 
     def run_val(epoch=None):
