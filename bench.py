@@ -65,6 +65,11 @@ def parse_args():
              "(models/t5.py:_quantize_w) on top of the serving defaults",
     )
     p.add_argument(
+        "--kv_bits", type=int, default=8, choices=[8, 4],
+        help="quantized-KV width (4 = jnp.int4 experiment; see "
+             "infer/decode.py DecodeConfig.kv_bits)",
+    )
+    p.add_argument(
         "--audio_dir", type=str, default=os.environ.get("M2M_BENCH_AUDIO"),
         help="directory of .wav songs for the trained-mode workload "
              "(default: synthetic sines, as in the random-weights mode); "
@@ -112,6 +117,9 @@ def main() -> None:
         engine.suppress_tokens = (engine.t5_config.eos_token_id,)
     if args.int8_weights:
         engine.int8_weights = True
+    if args.kv_bits != 8:
+        engine.kv_bits = args.kv_bits
+        engine.int8_kv = True  # 4-bit storage rides the quantized-KV path
     engine.params = jax.device_put(engine.params)
 
     sr = int(engine.config.model.sample_rate)
@@ -177,6 +185,7 @@ def main() -> None:
         "vs_baseline": round(songs_per_min / 6.25, 3),
         "mode": "trained_eos" if args.ckpt else "random_forced256",
         "int8_weights": bool(args.int8_weights),
+        "kv_bits": int(args.kv_bits),
         "n_notes": n_notes,
         "p50_song_latency_s": round(p50_latency, 3),
         "spread": {

@@ -51,6 +51,10 @@ def main():
         help="int8 weight-only quantization of the decode projections "
              "(serving-mode ablation; models/t5.py:_quantize_w)")
     parser.add_argument(
+        "--kv_bits", type=int, default=8, choices=[8, 4],
+        help="quantized-KV width in serving mode (4 = jnp.int4 "
+             "experiment; see infer/decode.py DecodeConfig.kv_bits)")
+    parser.add_argument(
         "--split", type=str, default="test",
         choices=["test", "val", "train"],
         help="which dataset_split ids to score (test = the reference "
@@ -66,6 +70,9 @@ def main():
     engine = load_engine(args.ckpt, args.config, args.dtype)
     if args.int8_weights:
         engine.int8_weights = True
+    if args.kv_bits != 8:
+        engine.kv_bits = args.kv_bits
+        engine.int8_kv = True  # 4-bit storage rides the quantized-KV path
 
     logs = []
     for i, piano_id in enumerate(test_ids):

@@ -66,6 +66,12 @@ class DecodeConfig(NamedTuple):
     unroll: int = 1  # decode steps per while-loop iteration (early-exit
     # check runs every `unroll` steps).  Real-world factor: trained
     # models early-exit at 30-150 tokens vs the 256 forced in bench.py.
+    kv_bits: int = 8  # quantized-KV width when quantize_*_kv is on:
+    # 8 = int8 (serving default) or 4 = jnp.int4 / XLA s4 (EXPERIMENT:
+    # ±7 levels; another 2x off the cache bandwidth floor only if the
+    # backend packs s4 two-per-byte in HBM — measure, and check quality
+    # with evaluate.py before trusting; the Pallas kernel is int8-only
+    # and is skipped at 4 bits).
 
 
 class _State(NamedTuple):
@@ -121,7 +127,8 @@ def generate_tokens(
     if rng is None:
         rng = jax.random.PRNGKey(0)
     cross_kv = precompute_cross_kv(
-        params, encoder_hidden, cfg, quantize=dcfg.quantize_cross_kv
+        params, encoder_hidden, cfg, quantize=dcfg.quantize_cross_kv,
+        bits=dcfg.kv_bits,
     )  # CrossKV: lane-padded entries + pad mask, unpacked by decode_step
     use_pallas = bool(
         dcfg.pallas_attention and jax.default_backend() == "tpu"
@@ -167,7 +174,8 @@ def generate_tokens(
         done=jnp.zeros((B,), dtype=bool),
         tokens=tokens,
         cache=tuple(init_kv_cache(
-            B, phase_lens[0], cfg, quantize=dcfg.quantize_self_kv
+            B, phase_lens[0], cfg, quantize=dcfg.quantize_self_kv,
+            bits=dcfg.kv_bits,
         )),
         rng=rng,
     )

@@ -119,6 +119,10 @@ class Music2MIDI:
         # (models/t5.py:_quantize_w).  OFF by default pending a measured
         # quality/latency result on a trained model; set True to enable.
         self.int8_weights: bool = False
+        # quantized-KV width: 8 (int8, the serving default) or 4
+        # (jnp.int4 EXPERIMENT — see decode.py DecodeConfig.kv_bits;
+        # check quality with evaluate.py before serving with it)
+        self.kv_bits: int = 8
         # sampling decode variants (BASELINE config 3): 0.0 => greedy
         # (the parity mode); set temperature/top_k for stochastic covers
         self.temperature: float = 0.0
@@ -281,6 +285,7 @@ class Music2MIDI:
             quantize_cross_kv=bool(int8),
             quantize_self_kv=bool(int8),
             quantize_weights=bool(self.int8_weights),
+            kv_bits=int(self.kv_bits),
         )
 
     def _bucket(self, n: int) -> int:

@@ -430,7 +430,7 @@ def t5_forward(
 
 def precompute_cross_kv(
     params: Params, encoder_hidden: jax.Array, cfg: T5Config,
-    quantize: bool = False,
+    quantize: bool = False, bits: int = 8,
 ) -> list:
     """Per-layer cross-attention K/V from encoder output, computed once per
     generation (HF recomputes per step unless cached; here it is explicit).
@@ -465,7 +465,7 @@ def precompute_cross_kv(
             k = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
             v = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
         if quantize:
-            out.append((_quantize_kv(k), _quantize_kv(v)))
+            out.append((_quantize_kv(k, bits), _quantize_kv(v, bits)))
         else:
             out.append((k, v))
     return CrossKV(layers=out, mask=cross_attention_mask(L), enc_len=L)
@@ -502,17 +502,33 @@ def cross_attention_mask(enc_len: int) -> Optional[jax.Array]:
     )[None, None, None, :]
 
 
-def _quantize_kv(x: jax.Array):
-    """(B, H, L, D) -> (int8 values, fp32 scales laid out (B, H, 1, L)).
+def _quantize_kv(x: jax.Array, bits: int = 8):
+    """(B, H, L, D) -> (int values, fp32 scales laid out (B, H, 1, L)).
 
     The scales are stored PRE-TRANSPOSED into the score-vector layout: the
     decode loop multiplies them into (B, H, 1, L) score/prob rows every
     step, and a (B, H, L, 1) layout puts one scale per 128-lane tile plus
-    a per-step transpose — 12 badly-tiled swapaxes per decode step."""
+    a per-step transpose — 12 badly-tiled swapaxes per decode step.
+
+    bits=8 (serving default) stores int8 / ±127 levels; bits=4 stores
+    XLA s4 (jnp.int4) / ±7 levels — worth at most another 2x on the
+    decode bandwidth floor IF the backend packs s4 two-per-byte in HBM
+    (measure before trusting; see PERFORMANCE.md)."""
+    if bits not in (8, 4):
+        raise ValueError(f"_quantize_kv: bits must be 8 or 4, got {bits}")
+    levels = 127.0 if bits == 8 else 7.0
+    dtype = jnp.int8 if bits == 8 else jnp.int4
     amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
-    scale = jnp.maximum(amax, 1e-8) / 127.0
-    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
-    return q.astype(jnp.int8), jnp.swapaxes(scale, -1, -2)
+    scale = jnp.maximum(amax, 1e-8) / levels
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -levels, levels)
+    return q.astype(dtype), jnp.swapaxes(scale, -1, -2)
+
+
+def _kv_bits(entry) -> int:
+    """Quantization width of a (values, scales) cache entry, from its
+    stored dtype — keeps the int4/int8 choice type-driven so decode_step
+    needs no extra static argument."""
+    return 4 if entry[0].dtype == jnp.int4 else 8
 
 
 def _dequantize_kv(entry, dtype) -> jax.Array:
@@ -568,21 +584,24 @@ def _attention_int8(
 
 
 def init_kv_cache(
-    batch: int, max_len: int, cfg: T5Config, quantize: bool = False
+    batch: int, max_len: int, cfg: T5Config, quantize: bool = False,
+    bits: int = 8,
 ) -> list:
     """Preallocated self-attention KV cache: per layer (K, V) of shape
     (B, H, max_len, d_kv).
 
-    quantize=True stores each of K and V as (int8 values, fp32 per-position
+    quantize=True stores each of K and V as (int values, fp32 per-position
     scales in the (B, H, 1, max_len) score-row layout) — every decode step
     re-reads the whole cache, so int8 halves the dominant HBM traffic
-    (serving mode only)."""
+    (serving mode only).  bits=4 stores jnp.int4 instead (±7 levels,
+    experiment — see _quantize_kv)."""
     shape = (batch, cfg.num_heads, max_len, cfg.d_kv)
     sshape = (batch, cfg.num_heads, 1, max_len)  # score-row layout
+    qdtype = jnp.int8 if bits == 8 else jnp.int4
 
     def one():
         if quantize:
-            return (jnp.zeros(shape, jnp.int8), jnp.ones(sshape, jnp.float32))
+            return (jnp.zeros(shape, qdtype), jnp.ones(sshape, jnp.float32))
         return jnp.zeros(shape, cfg.dtype)
 
     return [(one(), one()) for _ in range(cfg.num_decoder_layers)]
@@ -648,7 +667,8 @@ def _dus_kv(entry, new: jax.Array, step: jax.Array, new_q=None):
     quantized here) is written (per-(B,H) scale for the single row)."""
     if isinstance(entry, tuple):
         vals, scales = entry
-        q8, s = new_q if new_q is not None else _quantize_kv(new)
+        q8, s = new_q if new_q is not None else _quantize_kv(
+            new, _kv_bits(entry))
         return (
             jax.lax.dynamic_update_slice(vals, q8, (0, 0, step, 0)),
             jax.lax.dynamic_update_slice(scales, s, (0, 0, 0, step)),
@@ -723,13 +743,14 @@ def decode_step(
             for part in jnp.split(qkv, 3, axis=-1)
         )
         quantized = isinstance(kv_cache[i][0], tuple)
-        k_newq = _quantize_kv(k_new) if quantized else None
-        v_newq = _quantize_kv(v_new) if quantized else None
+        bits = _kv_bits(kv_cache[i][0]) if quantized else 8
+        k_newq = _quantize_kv(k_new, bits) if quantized else None
+        v_newq = _quantize_kv(v_new, bits) if quantized else None
         k_all = _dus_kv(kv_cache[i][0], k_new, step, k_newq)
         v_all = _dus_kv(kv_cache[i][1], v_new, step, v_newq)
         new_cache.append((k_all, v_all))
         if quantized:
-            if pallas_ok:
+            if pallas_ok and bits == 8:  # the kernel is int8-specific
                 from ..ops.decode_attention import decode_attention_int8
 
                 # pre-write cache by design: the kernel patches the
@@ -752,7 +773,7 @@ def decode_step(
             _proj(h, layer["ca_q"], cfg.dtype), cfg.num_heads, cfg.d_kv
         )
         if isinstance(cross_kv[i][0], tuple):
-            if pallas_ok:
+            if pallas_ok and _kv_bits(cross_kv[i][0]) == 8:
                 from ..ops.decode_attention import decode_attention_int8
 
                 attn_out = decode_attention_int8(

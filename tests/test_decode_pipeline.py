@@ -365,6 +365,51 @@ def test_quantized_weights(setup):
     np.testing.assert_allclose(folded, ref, rtol=1e-5, atol=1e-5)
 
 
+def test_int4_kv(setup):
+    """kv_bits=4 (jnp.int4 EXPERIMENT, flag-gated): decode runs end to
+    end through the phased cache-growth path with s4 caches, the new-row
+    quantization width is derived from the cache dtype (type-driven), the
+    roundtrip error is bounded by the ±7-level grid, and the folded-scale
+    attention matches the dequantize-then-attend reference."""
+    import jax.numpy as jnp
+
+    from music2midi_tpu.models.t5 import (
+        _attention_int8, _dequantize_kv, _kv_bits, _quantize_kv, attention,
+    )
+
+    params, cfg, enc = setup
+    b, _ = generate_tokens(
+        params, enc, cfg,
+        DecodeConfig(max_length=24, quantize_self_kv=True,
+                     quantize_cross_kv=True, kv_bits=4),
+    )
+    b = np.asarray(b)
+    assert b.shape == (3, 24) and (b[:, 0] == 1).all()
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 4, 16, 64)).astype(np.float32))
+    q4 = _quantize_kv(x, bits=4)
+    assert q4[0].dtype == jnp.int4 and _kv_bits(q4) == 4
+    # ±7 levels: |x - deq| <= scale/2 = amax/14 per position
+    back = np.asarray(_dequantize_kv(q4, jnp.float32))
+    amax = np.abs(np.asarray(x)).max(axis=-1, keepdims=True)
+    assert (np.abs(back - np.asarray(x)) <= amax / 14 + 1e-6).all()
+
+    # folded-scale attention on int4 entries == dequantize-then-attend
+    q = jnp.asarray(rng.normal(size=(2, 4, 1, 64)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(2, 4, 16, 64)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(2, 4, 16, 64)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(1, 4, 1, 16)).astype(np.float32))
+    mask = (jnp.arange(16) < 12)[None, None, None, :]
+    k4, v4 = _quantize_kv(k, bits=4), _quantize_kv(v, bits=4)
+    folded = np.asarray(_attention_int8(q, k4, v4, bias, mask, jnp.float32))
+    ref = np.asarray(attention(
+        q, _dequantize_kv(k4, jnp.float32), _dequantize_kv(v4, jnp.float32),
+        bias, mask, jnp.float32,
+    ))
+    np.testing.assert_allclose(folded, ref, atol=1e-4)
+
+
 def test_cross_kv_lane_padding_exact(setup):
     """Lane-padded cross-KV (190 -> 256 columns + mask) must be
     bit-identical to unpadded attention: -1e9 pad scores underflow to
