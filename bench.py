@@ -117,9 +117,7 @@ def main() -> None:
         engine.suppress_tokens = (engine.t5_config.eos_token_id,)
     if args.int8_weights:
         engine.int8_weights = True
-    if args.kv_bits != 8:
-        engine.kv_bits = args.kv_bits
-        engine.int8_kv = True  # 4-bit storage rides the quantized-KV path
+    engine.kv_bits = args.kv_bits  # != 8 implies quantized KV (_dcfg)
     engine.params = jax.device_put(engine.params)
 
     sr = int(engine.config.model.sample_rate)

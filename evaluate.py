@@ -70,9 +70,7 @@ def main():
     engine = load_engine(args.ckpt, args.config, args.dtype)
     if args.int8_weights:
         engine.int8_weights = True
-    if args.kv_bits != 8:
-        engine.kv_bits = args.kv_bits
-        engine.int8_kv = True  # 4-bit storage rides the quantized-KV path
+    engine.kv_bits = args.kv_bits  # != 8 implies quantized KV (_dcfg)
 
     logs = []
     for i, piano_id in enumerate(test_ids):

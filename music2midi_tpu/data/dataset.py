@@ -38,6 +38,14 @@ from ..tokenizer import MidiTokenizer
 from ..train.loop import Batch, pad_labels
 
 
+def _warn(msg: str) -> None:
+    """Loader-configuration warning (lazy logging import keeps the module
+    import path free of it)."""
+    import logging
+
+    logging.getLogger(__name__).warning(msg)
+
+
 class MetadataDict:
     """piano_id -> conditioning indices from per-song metadata YAMLs
     (reference dataset.py:15-39)."""
@@ -323,18 +331,14 @@ class DataLoader:
             from .. import native
 
             if not native.available():
-                import logging
-
-                logging.getLogger(__name__).warning(
+                _warn(
                     "native DSP library not built (`make -C native`): "
                     "thread workers would serialize pitch_shift on the GIL; "
                     "switching DataLoader to spawn process workers"
                 )
                 use_processes = True
         if use_processes and dataset._cache_audio:
-            import logging
-
-            logging.getLogger(__name__).warning(
+            _warn(
                 "dataset.cache_audio with process workers: the audio cache "
                 "is per-worker and rebuilt every epoch (pools are "
                 "re-spawned per __iter__) — expect RAM x num_workers and "
@@ -342,9 +346,7 @@ class DataLoader:
                 "when caching"
             )
         if use_processes and dataset._aug_cache is not None:
-            import logging
-
-            logging.getLogger(__name__).warning(
+            _warn(
                 "dataset.cache_augment_mb with process workers: the "
                 "dataset pickles its augment cache EMPTY and worker pools "
                 "are re-spawned per epoch, so the cache never warms and "

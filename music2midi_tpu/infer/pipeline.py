@@ -277,6 +277,8 @@ class Music2MIDI:
         int8 = self.int8_kv
         if int8 is None:
             int8 = self.t5_config.dtype != jnp.float32
+        if self.kv_bits != 8:
+            int8 = True  # a non-default width implies quantized KV
         return DecodeConfig(
             max_length=self.decode_max_length,
             temperature=self.temperature,
