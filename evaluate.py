@@ -1,6 +1,7 @@
 """Evaluation CLI — `python evaluate.py DATA_DIR --ckpt CKPT [--config
 --name]`: per-song melody chroma accuracy over the test split, written to
-score-{name}.csv (reference evaluate.py:13-52, methodology unchanged).
+scores/score-{name}.csv (reference evaluate.py:13-52, methodology
+unchanged).
 
 --ckpt accepts an orbax params/train dir or a reference PyTorch .ckpt.
 """
@@ -100,7 +101,8 @@ def main():
     df = pd.DataFrame(
         logs, columns=["piano_id", "model", "genre", "difficulty", "score"]
     )
-    out = f"score-{args.name}.csv"
+    Path("scores").mkdir(exist_ok=True)
+    out = f"scores/score-{args.name}.csv"
     df.to_csv(out, index=False)
     print(f"mean score: {df['score'].mean():.4f} -> {out}")
 

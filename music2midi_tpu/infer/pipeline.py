@@ -178,6 +178,22 @@ class Music2MIDI:
         return cls(params, cfg, **kw)
 
     @classmethod
+    def from_npz(
+        cls,
+        path: Union[str, Path],
+        config: Optional[Union[str, ConfigNode]] = None,
+        **kw,
+    ) -> "Music2MIDI":
+        """Load a single-file `save_params_npz` export — the repo's
+        checkpoint-of-record format (the reference's equivalent artifact
+        is `epoch=799-step=119200.ckpt`, /root/reference/demo.ipynb
+        cell-0)."""
+        from ..train.checkpoint import load_params_npz
+
+        params, saved_cfg = load_params_npz(path)
+        return cls(params, config if config is not None else saved_cfg, **kw)
+
+    @classmethod
     def from_orbax(
         cls,
         ckpt_dir: Union[str, Path],

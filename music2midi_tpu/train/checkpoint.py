@@ -144,15 +144,106 @@ def average_params(
     return jax.tree.unflatten(treedef0, mean), cfg
 
 
+def save_params_npz(
+    path: Union[str, Path],
+    params,
+    config: Optional[ConfigNode] = None,
+    dtype: str = "bfloat16",
+) -> None:
+    """Single-FILE inference export: the whole param tree (+ config) in
+    one .npz, weights cast to `dtype` ("bfloat16"/"float16"/"float32").
+
+    This is the repo's checkpoint-of-record format (the reference ships
+    `epoch=799-step=119200.ckpt`, /root/reference/demo.ipynb cell-0; we
+    ship a ~60 MB npz instead of a 350 MB Lightning pickle): a committed
+    artifact that `Music2MIDI.from_npz` / `evaluate.py --ckpt x.npz` /
+    `bench.py` load with no orbax directory tree to keep intact.
+
+    Layout: one array per leaf, keyed by its tree path joined with '/'
+    (list indices spelled '#i', so keys reconstruct the nested
+    dict/list pytree exactly); bfloat16 rides as its uint16 bit pattern
+    (plain .npy cannot represent ml_dtypes dtypes) with the true dtype
+    recorded in the '__dtypes__' JSON entry; the config (if any) is the
+    '__config__' JSON entry.
+    """
+    import ml_dtypes
+
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    target = np.dtype(
+        {"bfloat16": ml_dtypes.bfloat16, "float16": np.float16,
+         "float32": np.float32}[dtype]
+    )
+    arrays, dtypes = {}, {}
+    for kpath, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        key = "/".join(
+            f"#{k.idx}" if hasattr(k, "idx") else str(k.key) for k in kpath
+        )
+        a = np.asarray(leaf)
+        # cast only float weights; keep any integer leaves bit-exact
+        if np.issubdtype(a.dtype, np.floating) or a.dtype == ml_dtypes.bfloat16:
+            a = a.astype(target)
+        dtypes[key] = a.dtype.name
+        if a.dtype == ml_dtypes.bfloat16:
+            a = a.view(np.uint16)
+        arrays[key] = a
+    arrays["__dtypes__"] = np.frombuffer(
+        json.dumps(dtypes).encode(), dtype=np.uint8
+    )
+    if config is not None:
+        arrays["__config__"] = np.frombuffer(
+            json.dumps(config.to_dict()).encode(), dtype=np.uint8
+        )
+    np.savez_compressed(path, **arrays)
+
+
+def load_params_npz(
+    path: Union[str, Path]
+) -> Tuple[object, Optional[ConfigNode]]:
+    """Load a `save_params_npz` export -> (params pytree, config|None)."""
+    import ml_dtypes
+
+    with np.load(Path(path)) as z:
+        dtypes = json.loads(bytes(z["__dtypes__"]).decode())
+        cfg = None
+        if "__config__" in z:
+            cfg = ConfigNode(json.loads(bytes(z["__config__"]).decode()))
+        root: dict = {}
+        for key, want in dtypes.items():
+            a = z[key]
+            if want == "bfloat16":
+                a = a.view(ml_dtypes.bfloat16)
+            node, parts = root, key.split("/")
+            for i, part in enumerate(parts):
+                k = int(part[1:]) if part.startswith("#") else part
+                if i == len(parts) - 1:
+                    node[k] = a
+                else:
+                    node = node.setdefault(k, {})
+    return _intkeyed_to_lists(root), cfg
+
+
+def _intkeyed_to_lists(node):
+    """Rebuild list nodes (stored as {0: ..., 1: ...} int-keyed dicts)."""
+    if not isinstance(node, dict):
+        return node
+    if node and all(isinstance(k, int) for k in node):
+        return [_intkeyed_to_lists(node[i]) for i in range(len(node))]
+    return {k: _intkeyed_to_lists(v) for k, v in node.items()}
+
+
 def restore_params(
     ckpt_dir: Union[str, Path]
 ) -> Tuple[object, Optional[ConfigNode]]:
-    """Restore params for inference from either layout:
+    """Restore params for inference from any layout:
+      * a save_params_npz single-file export (*.npz),
       * a save_params export (ckpt_dir/params), or
       * a training checkpoint dir (ckpt_dir[/step_N]/state), taking the
         latest step — params are element 0 of the saved TrainState tuple.
     """
     ckpt_dir = Path(ckpt_dir).resolve()
+    if ckpt_dir.suffix == ".npz":
+        return load_params_npz(ckpt_dir)
     ckptr = ocp.StandardCheckpointer()
     if (ckpt_dir / "params").exists():
         params = ckptr.restore(ckpt_dir / "params")

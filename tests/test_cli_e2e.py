@@ -422,7 +422,7 @@ def test_evaluate_cli(mini_dataset, tmp_path, monkeypatch):
     eval_cli.main()
     import pandas as pd
 
-    df = pd.read_csv(tmp_path / "score-testrun.csv")
+    df = pd.read_csv(tmp_path / "scores" / "score-testrun.csv")
     assert list(df.columns) == [
         "piano_id", "model", "genre", "difficulty", "score"
     ]
