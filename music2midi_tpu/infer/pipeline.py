@@ -130,6 +130,12 @@ class Music2MIDI:
         self.sample_seed: int = 0
         self.device_detokenize = device_detokenize
         self.num_conditioning = len(self.config.conditioning)
+        # per-dispatch decode accounting, refreshed by generate_batch /
+        # _token_batches: [{"batch_width", "real_rows", "steps" (executed
+        # while_loop trips = max EOS position in the batch),
+        # "tokens_real" (sum of generated tokens over real rows)}].
+        # bench.py's MFU accounting reads this (profiling.decode_flops).
+        self.last_decode_stats: List[dict] = []
         self._dp = 1 if mesh is None else mesh.shape["dp"]
         self._generate_fn = functools.partial(
             _encode_and_generate,
@@ -306,6 +312,19 @@ class Music2MIDI:
             kv_bits=int(self.kv_bits),
         )
 
+    @property
+    def encoder_len(self) -> int:
+        """Encoder sequence length the fused programs run at: mel frames
+        of one 3-s chunk + the prepended conditioning tokens (the L in
+        profiling.decode_flops)."""
+        from ..ops.mel import num_frames
+
+        split = int(
+            self.config.model.sample_rate
+            * float(self.config.dataset.segment_duration)
+        )
+        return num_frames(split, self.mel_config) + self.num_conditioning
+
     def _bucket(self, n: int) -> int:
         b = _bucket(n, int(self.config.inference.batch_size))
         # batches must divide evenly over dp
@@ -431,6 +450,7 @@ class Music2MIDI:
         else:
             cond = np.asarray(cond_index, dtype=np.int32)
         dcfg = self._dcfg()
+        self.last_decode_stats = []
         for start in range(0, len(chunks), max_bs):
             batch = chunks[start:start + max_bs]
             n = len(batch)
@@ -440,13 +460,20 @@ class Music2MIDI:
                     [batch, np.zeros((b - n, batch.shape[1]), np.float32)]
                 )
             cond_batch = np.broadcast_to(cond, (b, len(cond))).copy()
-            tokens, _ = self._generate_fn(
+            tokens, lengths = self._generate_fn(
                 self.params,
                 self._stage_wave(batch),
                 self._put(cond_batch),
                 dcfg=dcfg,
                 rng=self._sample_rng(start),
             )
+            len_h = np.asarray(jax.device_get(lengths))
+            self.last_decode_stats.append({
+                "batch_width": int(len_h.shape[0]),
+                "real_rows": int(n),
+                "steps": int(len_h.max()) - 1,
+                "tokens_real": int(len_h[:n].sum()) - n,
+            })
             yield start, tokens[:n]
 
     def generate_batch(
@@ -540,14 +567,14 @@ class Music2MIDI:
                 )
             start_idx = np.zeros(b, np.int32)
             start_idx[:n] = np.asarray(idx_b, np.int32) * n_steps
-            notes, valid = _encode_generate_detokenize(
+            notes, valid, lengths = _encode_generate_detokenize(
                 self.params, self._stage_wave(batch),
                 self._put(cond_b),
                 self._put(start_idx),
                 t5_cfg=self.t5_config, mel_cfg=self.mel_config, dcfg=dcfg,
                 rng=self._sample_rng(seq),
             )
-            return (n, notes, valid)
+            return (n, notes, valid, lengths)
 
         # transport prep (stack + int16 encode, ~0.6 s per 128-chunk
         # batch measured IN-PROCESS — numpy crawls when the device
@@ -585,11 +612,22 @@ class Music2MIDI:
                 ))
             # collect + trim on host while the device keeps working
             per_chunk: List[np.ndarray] = []
+            self.last_decode_stats = []  # per dispatched batch: see below
             for fut in pending:
-                n, notes, valid = fut.result()
+                n, notes, valid, lengths = fut.result()
                 notes_h = np.asarray(
                     jax.device_get(notes)).astype(np.float64)
                 valid_h = np.asarray(jax.device_get(valid))
+                len_h = np.asarray(jax.device_get(lengths))
+                # the while_loop steps the WHOLE batch until its slowest
+                # row (lockstep): max length == executed decode steps + 1
+                # — the per-batch record bench.py's MFU accounting reads
+                self.last_decode_stats.append({
+                    "batch_width": int(len_h.shape[0]),
+                    "real_rows": int(n),
+                    "steps": int(len_h.max()) - 1,
+                    "tokens_real": int(len_h[:n].sum()) - n,
+                })
                 for i in range(n):
                     row = notes_h[i][valid_h[i]]
                     row[:, :2] *= self.tokenizer.time_step
@@ -674,7 +712,8 @@ def _encode_generate_detokenize(
     dominant serving cost on this stack)."""
     from ..ops.detokenize import detokenize
 
-    tokens, _ = _encode_and_generate(
+    tokens, lengths = _encode_and_generate(
         params, wave_chunks, cond_index, t5_cfg, mel_cfg, dcfg, rng
     )
-    return detokenize(tokens, start_idx)
+    notes, valid = detokenize(tokens, start_idx)
+    return notes, valid, lengths
