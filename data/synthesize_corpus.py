@@ -111,7 +111,173 @@ def compose_song(seed: int, duration: float) -> MidiFile:
 
     midi = MidiFile()
     midi.instruments = [melody, accomp]
+    midi.bar_duration = bar  # consumed by render_hard's drum stem
     return midi
+
+
+def shape_velocities(midi: MidiFile, seed: int) -> MidiFile:
+    """Phrase-level dynamics: a slow crescendo/decrescendo envelope plus
+    per-note jitter, applied to the PERFORMANCE only (velocity never
+    reaches the token targets — the tokenizer writes default_velocity —
+    so this hardens the audio without touching labels)."""
+    rng = np.random.default_rng(seed ^ 0xD1CE)
+    end = max(midi.get_end_time(), 1.0)
+    period = rng.uniform(6.0, 14.0)
+    phase = rng.uniform(0, 2 * np.pi)
+    depth = rng.uniform(0.25, 0.45)
+    for inst in midi.instruments:
+        for n in inst.notes:
+            env = 1.0 - depth * 0.5 * (
+                1 + np.sin(2 * np.pi * n.start / period + phase)
+            )
+            jit = rng.uniform(0.85, 1.15)
+            n.velocity = int(np.clip(n.velocity * env * jit, 20, 127))
+    return midi
+
+
+def _pink_noise(rng: np.random.Generator, n: int) -> np.ndarray:
+    """Approximate 1/f noise: sum of white noise at octave decimations
+    (Voss-McCartney-style), normalized to unit RMS."""
+    out = np.zeros(n, np.float32)
+    for oct_ in range(6):
+        step = 2 ** oct_
+        m = (n + step - 1) // step
+        out += np.repeat(rng.normal(0, 1, m).astype(np.float32), step)[:n]
+    return out / max(np.sqrt(float(np.mean(out**2))), 1e-9)
+
+
+def _reverb(y: np.ndarray, sr: int, rng: np.random.Generator) -> np.ndarray:
+    """Small-room reverb: exponentially decaying noise IR (RT60 0.3-0.8 s),
+    FFT convolution, mixed ~20-35% wet."""
+    rt60 = rng.uniform(0.3, 0.8)
+    n_ir = int(rt60 * sr)
+    t = np.arange(n_ir) / sr
+    ir = rng.normal(0, 1, n_ir).astype(np.float32) * np.exp(
+        -6.91 * t / rt60
+    ).astype(np.float32)
+    ir[0] = 0.0
+    ir /= max(np.sqrt(float(np.sum(ir**2))), 1e-9)
+    n_fft = 1 << int(np.ceil(np.log2(len(y) + n_ir)))
+    wet = np.fft.irfft(
+        np.fft.rfft(y, n_fft) * np.fft.rfft(ir, n_fft), n_fft
+    )[: len(y)].astype(np.float32)
+    mix = rng.uniform(0.2, 0.35)
+    return (1 - mix) * y + mix * wet
+
+
+def _vocal_stem(
+    midi: MidiFile, sr: int, rng: np.random.Generator
+) -> np.ndarray:
+    """A vocal-like lead doubling the melody: sawtooth source with
+    vibrato, shaped by two formant resonances (band-passed via FFT
+    weighting) — the 'original song bleeding through the cover' stem."""
+    n = int((midi.get_end_time() + 1.0) * sr)
+    y = np.zeros(n, np.float32)
+    melody = midi.instruments[0]
+    f1, f2 = rng.uniform(550, 850), rng.uniform(1100, 1700)
+    for note in melody.notes:
+        i0, i1 = int(note.start * sr), min(int(note.end * sr), n)
+        if i1 <= i0:
+            continue
+        t = np.arange(i1 - i0) / sr
+        f0 = 440.0 * 2 ** ((note.pitch - 69) / 12)
+        vib = 1.0 + 0.01 * np.sin(2 * np.pi * rng.uniform(4.5, 6.5) * t)
+        phase = np.cumsum(f0 * vib) / sr
+        saw = 2 * (phase % 1.0) - 1.0  # harmonic-rich source
+        env = np.minimum(1.0, t / 0.04) * np.minimum(
+            1.0, (t[-1] - t + 1e-3) / 0.08
+        )
+        y[i0:i1] += (saw * env).astype(np.float32) * (note.velocity / 127.0)
+    # formant shaping in the frequency domain
+    n_fft = 1 << int(np.ceil(np.log2(max(len(y), 2))))
+    freqs = np.fft.rfftfreq(n_fft, 1 / sr)
+    shape = (
+        np.exp(-0.5 * ((freqs - f1) / 120.0) ** 2)
+        + 0.7 * np.exp(-0.5 * ((freqs - f2) / 180.0) ** 2)
+        + 0.1 * np.exp(-freqs / 300.0)  # glottal low end
+    )
+    y = np.fft.irfft(np.fft.rfft(y, n_fft) * shape, n_fft)[: len(y)]
+    return y.astype(np.float32)
+
+
+def _drum_stem(
+    duration: float, bar: float, sr: int, rng: np.random.Generator
+) -> np.ndarray:
+    """Percussive transients NOT in the score: kick (decaying 55-70 Hz
+    sine) on beats 1/3, snare-ish noise burst on 2/4, closed-hat ticks
+    on eighths."""
+    n = int((duration + 1.0) * sr)
+    y = np.zeros(n, np.float32)
+    beat = bar / 4.0
+
+    def hit(t0, dur, sig):
+        i0 = int(t0 * sr)
+        i1 = min(i0 + len(sig), n)
+        if i0 < n:
+            y[i0:i1] += sig[: i1 - i0]
+
+    t_k = np.arange(int(0.12 * sr)) / sr
+    f_k = rng.uniform(55, 70)
+    kick = (np.sin(2 * np.pi * f_k * t_k * (1 - 2 * t_k))
+            * np.exp(-t_k / 0.04)).astype(np.float32)
+    t_s = np.arange(int(0.08 * sr)) / sr
+    t_h = np.arange(int(0.03 * sr)) / sr
+    k = 0
+    t0 = 0.0
+    while t0 < duration:
+        snare = (rng.normal(0, 1, len(t_s))
+                 * np.exp(-t_s / 0.02)).astype(np.float32)
+        hat = (rng.normal(0, 1, len(t_h))
+               * np.exp(-t_h / 0.008)).astype(np.float32) * 0.35
+        b = k % 4
+        if b in (0, 2):
+            hit(t0, 0.12, kick * rng.uniform(0.8, 1.0))
+        else:
+            hit(t0, 0.08, snare * rng.uniform(0.5, 0.8))
+        hit(t0 + beat / 2, 0.03, hat)
+        hit(t0, 0.03, hat)
+        k += 1
+        t0 += beat
+    peak = float(np.abs(y).max())
+    return y / peak if peak > 0 else y
+
+
+def render_hard(
+    performed: MidiFile,
+    bar: float,
+    sr: int,
+    rng: np.random.Generator,
+) -> np.ndarray:
+    """Mix-realism rendering (VERDICT r3 #6: stop scoring a clean-tone
+    best case): piano + vocal-like lead doubling the melody + a drum
+    stem that is NOT in the score, through a room reverb, over a pink
+    noise floor.  Only the piano's notes are in the label MIDI — the
+    rest is interference the model must see through, approximating the
+    real-mix conditions the reference trains on
+    (/root/reference/music2midi/dataset.py:124-133)."""
+    piano = performed.synthesize(fs=sr).astype(np.float32)
+    peak = float(np.abs(piano).max())
+    if peak > 0:
+        piano /= peak
+    dur = performed.get_end_time()
+    vocal = _vocal_stem(performed, sr, rng)
+    vpeak = float(np.abs(vocal).max())
+    if vpeak > 0:
+        vocal /= vpeak
+    drums = _drum_stem(dur, bar, sr, rng)
+    n = len(piano)
+
+    def fit(x):
+        return np.pad(x, (0, max(0, n - len(x))))[:n]
+
+    mix = (
+        piano
+        + rng.uniform(0.25, 0.5) * fit(vocal)
+        + rng.uniform(0.15, 0.35) * fit(drums)
+    )
+    mix = _reverb(mix, sr, rng)
+    mix = mix + rng.uniform(0.005, 0.02) * _pink_noise(rng, n)
+    return np.tanh(mix * 1.2).astype(np.float32)  # gentle bus saturation
 
 
 def warp_notes(midi: MidiFile, seed: int, max_dev: float = 0.05) -> MidiFile:
@@ -150,8 +316,17 @@ def main() -> None:
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--config", type=str, default=None)
     parser.add_argument("--noise", type=float, default=0.003,
-                        help="additive noise RMS in the rendered audio")
+                        help="additive noise RMS in the rendered audio "
+                             "(clean profile)")
     parser.add_argument("--sample_rate", type=int, default=22050)
+    parser.add_argument(
+        "--profile", choices=["clean", "hard"], default="clean",
+        help="clean = additive synth + light noise (the r3 corpora); "
+             "hard = mix realism (VERDICT r3 #6): vocal-like formant "
+             "lead doubling the melody, off-score drum transients, room "
+             "reverb, pink-noise floor, phrase dynamics, and a stronger "
+             "(+-12%%) tempo warp",
+    )
     args = parser.parse_args()
 
     cfg = resolve_config(args.config)
@@ -175,10 +350,18 @@ def main() -> None:
         song_seed = args.seed * 1000 + i
         score = compose_song(song_seed, args.duration)
         score.write(data_dir / "midi" / f"{pid}.mid")
-        performed = warp_notes(score, song_seed)
-        y = performed.synthesize(fs=args.sample_rate).astype(np.float32)
-        if args.noise > 0:
-            y = y + rng.normal(0.0, args.noise, len(y)).astype(np.float32)
+        max_dev = 0.12 if args.profile == "hard" else 0.05
+        performed = warp_notes(score, song_seed, max_dev=max_dev)
+        if args.profile == "hard":
+            performed = shape_velocities(performed, song_seed)
+            y = render_hard(
+                performed, score.bar_duration, args.sample_rate, rng
+            )
+        else:
+            y = performed.synthesize(fs=args.sample_rate).astype(np.float32)
+            if args.noise > 0:
+                y = y + rng.normal(
+                    0.0, args.noise, len(y)).astype(np.float32)
         peak = float(np.abs(y).max())
         if peak > 0:
             y *= 0.8 / peak

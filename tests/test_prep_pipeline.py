@@ -170,3 +170,34 @@ def test_synthesize_corpus_resume_deterministic(tmp_path, monkeypatch):
             a = (fresh / sub / name).read_bytes()
             b = (resumed / sub / name).read_bytes()
             assert a == b, f"{sub}/{name} differs between fresh and resume"
+
+
+def test_synthesize_corpus_hard_profile(tmp_path, monkeypatch):
+    """--profile hard (VERDICT r3 #6 mix realism) renders interference
+    stems the score does NOT contain — the audio must differ strongly
+    from the clean render of the same composition, stay finite/bounded,
+    and still carry the piano (the aligner smoke runs in the chain)."""
+    import numpy as np
+
+    from music2midi_tpu.audio import load as load_audio
+
+    argv = ["synthesize_corpus.py", None, "--songs", "1",
+            "--duration", "8", "--seed", "5"]
+    for profile, sub in (("clean", "c"), ("hard", "h")):
+        d = tmp_path / sub
+        argv[1] = str(d)
+        _run("synthesize_corpus",
+             argv + ["--profile", profile], monkeypatch)
+        assert (d / "audio" / "synth000.wav").exists()
+    yc, sr = load_audio(tmp_path / "c" / "audio" / "synth000.wav")
+    yh, _ = load_audio(tmp_path / "h" / "audio" / "synth000.wav")
+    assert np.all(np.isfinite(yh)) and np.abs(yh).max() <= 1.0
+    n = min(len(yc), len(yh))
+    # same composition, very different mix: correlation well below 1
+    c = np.corrcoef(yc[:n], yh[:n])[0, 1]
+    assert abs(c) < 0.9, c
+    # the midi targets are IDENTICAL across profiles (realism must not
+    # leak into the labels)
+    a = (tmp_path / "c" / "midi" / "synth000.mid").read_bytes()
+    b = (tmp_path / "h" / "midi" / "synth000.mid").read_bytes()
+    assert a == b
