@@ -29,6 +29,10 @@ Measured on this fixture: median error 0.076 s (every segment < 0.10 s);
 the bounds below are ~2x that.
 """
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow  # multi-minute: excluded by -m 'not slow'
+
 from pathlib import Path
 
 import numpy as np

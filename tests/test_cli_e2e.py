@@ -1,5 +1,9 @@
 """End-to-end CLI tests: synthetic dataset -> train.py -> evaluate.py."""
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow  # multi-minute: excluded by -m 'not slow'
+
 import sys
 
 import numpy as np

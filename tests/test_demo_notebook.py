@@ -10,6 +10,10 @@ runs as written, including synthesis, both piano-roll plots, and the
 output writes.
 """
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow  # multi-minute: excluded by -m 'not slow'
+
 from pathlib import Path
 
 import numpy as np

@@ -11,6 +11,10 @@ jitted global-mesh sum — the same collective a multi-host gradient
 all-reduce uses.
 """
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow  # multi-minute: excluded by -m 'not slow'
+
 import os
 import socket
 import subprocess

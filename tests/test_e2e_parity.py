@@ -8,6 +8,10 @@ the reference numerics (the reference's own mel is torchaudio fp32 FFT,
 same error class as the jnp FFT path — ops/mel.py docstring).
 """
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow  # multi-minute: excluded by -m 'not slow'
+
 import numpy as np
 import pytest
 

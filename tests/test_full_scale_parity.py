@@ -20,6 +20,10 @@ case the lm_head EOS column is biased so greedy hits EOS at realistic
 lengths (30-150 tokens is the trained operating range, CLAUDE.md).
 """
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow  # multi-minute: excluded by -m 'not slow'
+
 import os
 
 import numpy as np

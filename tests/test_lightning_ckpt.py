@@ -13,6 +13,10 @@ reference model.py:20-24), then load it through the production
 tokens vs the torch model on real audio.
 """
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow  # multi-minute: excluded by -m 'not slow'
+
 import numpy as np
 import pytest
 
