@@ -16,10 +16,20 @@ import pandas as pd
 import yaml
 
 
+#: the committed trained artifact (README "Model of record"); CLIs fall
+#: back to it when no --ckpt/--config is given, so a fresh clone
+#: evaluates/serves real transcriptions instead of random weights
+RECORD_CKPT = Path(__file__).resolve().parent / "checkpoints" \
+    / "model_of_record.npz"
+
+
 def load_engine(ckpt: str, config_path: str, dtype: str = "float32"):
     """dtype: float32 (bit-parity mode) | bfloat16 (TPU serving mode)."""
     import jax.numpy as jnp
 
+    if ckpt is None and config_path is None and RECORD_CKPT.exists():
+        print(f"no --ckpt given; using the model of record: {RECORD_CKPT}")
+        ckpt = str(RECORD_CKPT)
     if config_path is None:
         config_path = (
             "config.yaml" if Path("config.yaml").exists() else None
@@ -33,6 +43,8 @@ def load_engine(ckpt: str, config_path: str, dtype: str = "float32"):
     p = Path(ckpt)
     if p.suffix == ".ckpt" or p.suffix == ".pt":
         return Music2MIDI.from_torch_checkpoint(p, config_path, dtype=jdtype)
+    if p.suffix == ".npz":
+        return Music2MIDI.from_npz(p, config_path, dtype=jdtype)
     return Music2MIDI.from_orbax(p, config_path, dtype=jdtype)
 
 

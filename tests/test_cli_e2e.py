@@ -546,3 +546,20 @@ def test_loader_auto_switches_without_native_dsp(mini_dataset, monkeypatch):
     monkeypatch.setattr(native, "available", lambda: True)
     loader = DataLoader(ds, batch_size=2, num_workers=2, seed=0)
     assert loader.use_processes is False
+
+
+def test_load_engine_defaults_to_model_of_record(monkeypatch, tmp_path):
+    """With no --ckpt/--config, evaluate/webui load the committed model
+    of record instead of random weights (README 'Model of record')."""
+    monkeypatch.chdir(tmp_path)  # no local config.yaml either
+    import evaluate as eval_cli
+
+    if not eval_cli.RECORD_CKPT.exists():
+        pytest.skip("no model of record committed")
+    eng = eval_cli.load_engine(None, None, "bfloat16")
+    assert int(eng.config.model.t5.num_layers) == 6
+    import numpy as np
+
+    # trained weights, not an init: embeddings have structure
+    emb = np.asarray(eng.params["shared_embedding"], np.float32)
+    assert float(np.abs(emb).max()) > 1.0
