@@ -21,18 +21,20 @@ tokens/chunk) is reported in the same JSON line for continuity with the
 r1-r3 numbers; `--random` makes that the headline instead (the pre-r4
 behavior, used when no trained artifact is available).
 
-MFU (VERDICT r3 weak #3): `mfu` is analytic model FLOPs / elapsed /
-bf16 peak of the detected chip (profiling.decode_flops; 2*M*N*K per
-dot, true-causal attention).  Decode runs lockstep: each dispatched
-batch executes max-EOS-position steps for its full padded width, so
-FLOPs are counted at (batch_width, executed steps) from the pipeline's
-per-dispatch `last_decode_stats`.  Quantized-KV/weight modes are still
-normalized by the bf16 peak (the model math is bf16; int8 is a
-bandwidth optimization).  Expect low single-digit % — decode at
-d_model=384 is KV-cache-BANDWIDTH bound, not FLOPs bound
-(PERFORMANCE.md "decode ledger"); the MFU figure exists to make
-songs/min legible as a fraction of the chip, not to claim MXU
-saturation.
+MFU (VERDICT r3 weak #3): `mfu` is analytic MODEL-REQUIRED FLOPs /
+elapsed / bf16 peak of the detected chip (profiling.decode_flops;
+2*M*N*K per dot, true-causal attention; each real row counted at its
+own generated length — the standard MFU convention, padding and
+lockstep overwork charged against utilization).  `mfu_executed` is the
+companion number at the padded batch width and the lockstep max-EOS
+step count (what the while_loop actually ran); required/executed is
+the batching overhead.  Both come from the pipeline's per-dispatch
+`last_decode_stats`.  Quantized-KV/weight modes are still normalized
+by the bf16 peak (the model math is bf16; int8 is a bandwidth
+optimization).  Expect low single-digit % — decode at d_model=384 is
+KV-cache-BANDWIDTH bound, not FLOPs bound (PERFORMANCE.md "decode
+ledger"); the MFU figure exists to make songs/min legible as a
+fraction of the chip, not to claim MXU saturation.
 
 Measured in bfloat16 — the TPU serving configuration (fp32 remains the
 bit-parity mode).  The relay adds 50-500 ms jitter per dispatch, hence
@@ -74,9 +76,9 @@ def parse_args():
     )
     p.add_argument(
         "--max_decode", type=int, default=None,
-        help="decode token cap per chunk (default: the checkpoint "
-             "config's decode length in trained mode, DECODE_TOKENS "
-             "forced in random mode)",
+        help="decode token cap per chunk in TRAINED mode (default: the "
+             "Music2MIDI constructor's 1024); the random mode always "
+             "forces DECODE_TOKENS=256",
     )
     p.add_argument(
         "--config", type=str, default=None,
@@ -155,18 +157,29 @@ def _songs(args, sr: int):
     ]
 
 
-def _decode_flops_from_stats(engine) -> float:
-    """Model FLOPs of one generate_batch call, from the pipeline's
-    per-dispatch accounting (lockstep-batch convention, see module doc)."""
+def _decode_flops_from_stats(engine) -> tuple:
+    """(model-required, executed) FLOPs of one generate_batch call, from
+    the pipeline's per-dispatch accounting.
+
+    model-required (the standard MFU numerator): per REAL row at its own
+    generated length — padding and lockstep overwork charged against
+    utilization.  executed: padded batch width at the lockstep max-EOS
+    step count — what the while_loop actually ran; the ratio is the
+    batching/padding overhead."""
     from music2midi_tpu.profiling import decode_flops
 
     enc_len = engine.encoder_len
-    return sum(
-        decode_flops(
-            engine.t5_config, s["batch_width"], enc_len, max(1, s["steps"])
-        )
+    cfg = engine.t5_config
+    required = sum(
+        decode_flops(cfg, 1, enc_len, max(1, int(s_row)))
+        for s in engine.last_decode_stats
+        for s_row in s["row_steps"]
+    )
+    executed = sum(
+        decode_flops(cfg, s["batch_width"], enc_len, max(1, s["steps"]))
         for s in engine.last_decode_stats
     )
+    return required, executed
 
 
 def _run_workload(engine, songs, groups: int, per_group: int,
@@ -194,7 +207,8 @@ def _run_workload(engine, songs, groups: int, per_group: int,
             midis = engine.generate_batch(songs)
             trials.append(time.perf_counter() - t0)
     elapsed = sorted(trials)[len(trials) // 2]
-    flops = _decode_flops_from_stats(engine)  # greedy => identical/trial
+    flops, flops_exec = _decode_flops_from_stats(engine)  # greedy =>
+    # identical across trials
     tokens_real = sum(s["tokens_real"] for s in engine.last_decode_stats)
     n_notes = sum(len(i.notes) for m in midis for i in m.instruments)
     tput = sorted(song_equivalents / (t / 60.0) for t in trials)
@@ -210,6 +224,7 @@ def _run_workload(engine, songs, groups: int, per_group: int,
         "songs_per_min": song_equivalents / (elapsed / 60.0),
         "elapsed_median_s": elapsed,
         "flops_per_call": flops,
+        "flops_executed_per_call": flops_exec,
         "tokens_real": tokens_real,
         "n_notes": n_notes,
         "tput_sorted": tput,
@@ -238,10 +253,10 @@ def main() -> None:
     songs = _songs(args, int(engine.config.model.sample_rate))
     head = _run_workload(engine, songs, groups=3, per_group=3)
 
-    def mfu(r):
+    def mfu(r, key="flops_per_call"):
         if not peak:
             return None
-        return round(r["flops_per_call"] / r["elapsed_median_s"] / peak, 4)
+        return round(r[key] / r["elapsed_median_s"] / peak, 4)
 
     songs_per_min = head["songs_per_min"]
     tput, lat = head["tput_sorted"], head["lat_sorted"]
@@ -257,6 +272,7 @@ def main() -> None:
         "n_notes": head["n_notes"],
         "decoded_tokens": head["tokens_real"],
         "mfu": mfu(head),
+        "mfu_executed": mfu(head, "flops_executed_per_call"),
         "model_tflops_per_call": round(head["flops_per_call"] / 1e12, 4),
         "device_kind": device_kind,
         "peak_tflops_bf16": peak / 1e12 if peak else None,
@@ -279,8 +295,11 @@ def main() -> None:
     }
 
     if trained and not args.no_secondary:
-        # continuity line vs r1-r3: random weights, forced 256 tokens
-        sec_engine = _load_engine(args, trained=False)
+        # continuity line vs r1-r3: random weights, forced 256 tokens —
+        # ALWAYS 256, independent of --max_decode (which only shapes the
+        # trained headline), or the label would lie
+        sec_args = argparse.Namespace(**{**vars(args), "max_decode": None})
+        sec_engine = _load_engine(sec_args, trained=False)
         sec = _run_workload(
             sec_engine, songs, groups=1, per_group=3, lat_trials=3
         )

@@ -210,7 +210,7 @@ def _drum_stem(
     y = np.zeros(n, np.float32)
     beat = bar / 4.0
 
-    def hit(t0, dur, sig):
+    def hit(t0, sig):  # hit length is len(sig)
         i0 = int(t0 * sr)
         i1 = min(i0 + len(sig), n)
         if i0 < n:
@@ -231,11 +231,11 @@ def _drum_stem(
                * np.exp(-t_h / 0.008)).astype(np.float32) * 0.35
         b = k % 4
         if b in (0, 2):
-            hit(t0, 0.12, kick * rng.uniform(0.8, 1.0))
+            hit(t0, kick * rng.uniform(0.8, 1.0))
         else:
-            hit(t0, 0.08, snare * rng.uniform(0.5, 0.8))
-        hit(t0 + beat / 2, 0.03, hat)
-        hit(t0, 0.03, hat)
+            hit(t0, snare * rng.uniform(0.5, 0.8))
+        hit(t0 + beat / 2, hat)
+        hit(t0, hat)
         k += 1
         t0 += beat
     peak = float(np.abs(y).max())

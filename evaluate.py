@@ -30,6 +30,7 @@ def load_engine(ckpt: str, config_path: str, dtype: str = "float32"):
     if ckpt is None and config_path is None and RECORD_CKPT.exists():
         print(f"no --ckpt given; using the model of record: {RECORD_CKPT}")
         ckpt = str(RECORD_CKPT)
+    explicit_config = config_path is not None
     if config_path is None:
         config_path = (
             "config.yaml" if Path("config.yaml").exists() else None
@@ -44,7 +45,12 @@ def load_engine(ckpt: str, config_path: str, dtype: str = "float32"):
     if p.suffix == ".ckpt" or p.suffix == ".pt":
         return Music2MIDI.from_torch_checkpoint(p, config_path, dtype=jdtype)
     if p.suffix == ".npz":
-        return Music2MIDI.from_npz(p, config_path, dtype=jdtype)
+        # honor the checkpoint's EMBEDDED config unless --config was
+        # explicit: the ./config.yaml cwd fallback must not silently
+        # override the architecture the weights were trained with
+        return Music2MIDI.from_npz(
+            p, config_path if explicit_config else None, dtype=jdtype
+        )
     return Music2MIDI.from_orbax(p, config_path, dtype=jdtype)
 
 

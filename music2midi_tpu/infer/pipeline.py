@@ -130,12 +130,15 @@ class Music2MIDI:
         self.sample_seed: int = 0
         self.device_detokenize = device_detokenize
         self.num_conditioning = len(self.config.conditioning)
-        # per-dispatch decode accounting, refreshed by generate_batch /
-        # _token_batches: [{"batch_width", "real_rows", "steps" (executed
-        # while_loop trips = max EOS position in the batch),
-        # "tokens_real" (sum of generated tokens over real rows)}].
-        # bench.py's MFU accounting reads this (profiling.decode_flops).
+        # per-dispatch decode accounting, refreshed by generate_batch
+        # (always — the stats ride the result fetch) and by
+        # _token_batches when collect_decode_stats is set (extra fetch):
+        # [{"batch_width", "real_rows", "steps" (executed while_loop
+        # trips = max EOS position in the batch), "tokens_real",
+        # "row_steps" (per-real-row generated tokens)}].  bench.py's MFU
+        # accounting reads this (profiling.decode_flops).
         self.last_decode_stats: List[dict] = []
+        self.collect_decode_stats: bool = False
         self._dp = 1 if mesh is None else mesh.shape["dp"]
         self._generate_fn = functools.partial(
             _encode_and_generate,
@@ -467,13 +470,19 @@ class Music2MIDI:
                 dcfg=dcfg,
                 rng=self._sample_rng(start),
             )
-            len_h = np.asarray(jax.device_get(lengths))
-            self.last_decode_stats.append({
-                "batch_width": int(len_h.shape[0]),
-                "real_rows": int(n),
-                "steps": int(len_h.max()) - 1,
-                "tokens_real": int(len_h[:n].sum()) - n,
-            })
+            if self.collect_decode_stats:
+                # opt-in here: unlike generate_batch (where the stats
+                # ride the result fetch), this path would pay an EXTRA
+                # relay round trip per batch on the latency-critical
+                # generate() path
+                len_h = np.asarray(jax.device_get(lengths))
+                self.last_decode_stats.append({
+                    "batch_width": int(len_h.shape[0]),
+                    "real_rows": int(n),
+                    "steps": int(len_h.max()) - 1,
+                    "tokens_real": int(len_h[:n].sum()) - n,
+                    "row_steps": (len_h[:n] - 1).tolist(),
+                })
             yield start, tokens[:n]
 
     def generate_batch(
@@ -615,10 +624,15 @@ class Music2MIDI:
             self.last_decode_stats = []  # per dispatched batch: see below
             for fut in pending:
                 n, notes, valid, lengths = fut.result()
-                notes_h = np.asarray(
-                    jax.device_get(notes)).astype(np.float64)
-                valid_h = np.asarray(jax.device_get(valid))
-                len_h = np.asarray(jax.device_get(lengths))
+                # ONE fetch for all three outputs — the stats ride along
+                # with the transfer the results need anyway (each
+                # round trip costs 50-500 ms on the relay)
+                notes_h, valid_h, len_h = jax.device_get(
+                    (notes, valid, lengths)
+                )
+                notes_h = np.asarray(notes_h).astype(np.float64)
+                valid_h = np.asarray(valid_h)
+                len_h = np.asarray(len_h)
                 # the while_loop steps the WHOLE batch until its slowest
                 # row (lockstep): max length == executed decode steps + 1
                 # — the per-batch record bench.py's MFU accounting reads
@@ -627,6 +641,10 @@ class Music2MIDI:
                     "real_rows": int(n),
                     "steps": int(len_h.max()) - 1,
                     "tokens_real": int(len_h[:n].sum()) - n,
+                    # per-REAL-row generated-token counts: the
+                    # model-required FLOPs view (standard MFU) needs the
+                    # full distribution, not just the lockstep max
+                    "row_steps": (len_h[:n] - 1).tolist(),
                 })
                 for i in range(n):
                     row = notes_h[i][valid_h[i]]

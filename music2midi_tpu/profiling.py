@@ -157,11 +157,15 @@ def timeit_slope(
 #: Public figures: v4 275e12, v5e ("v5 lite") 197e12, v5p 459e12,
 #: v6e/Trillium 918e12, v3 123e12 (per chip = 2 cores).
 PEAK_FLOPS_BF16 = {
+    # more specific substrings FIRST — the lookup scans in order, and a
+    # bare "v4" must not swallow the single-core "v4 lite"/"v4i" parts
     "v5 lite": 197e12,
     "v5e": 197e12,
     "v5p": 459e12,
     "v6 lite": 918e12,
     "v6e": 918e12,
+    "v4 lite": 138e12,
+    "v4i": 138e12,
     "v4": 275e12,
     "v3": 123e12,
 }
