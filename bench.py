@@ -99,6 +99,12 @@ def parse_args():
              "infer/decode.py DecodeConfig.kv_bits)",
     )
     p.add_argument(
+        "--unroll", type=int, default=1,
+        help="decode steps per while-loop iteration (DecodeConfig."
+             "unroll): greedy tokens unchanged, early-exit granularity "
+             "coarsens — an EXPERIMENT knob for the trained-EOS mode",
+    )
+    p.add_argument(
         "--audio_dir", type=str, default=os.environ.get("M2M_BENCH_AUDIO"),
         help="directory of .wav songs for the trained-mode workload "
              "(default: synthetic sines); throughput is normalized to "
@@ -137,6 +143,7 @@ def _load_engine(args, trained: bool):
     if args.int8_weights:
         engine.int8_weights = True
     engine.kv_bits = args.kv_bits  # != 8 implies quantized KV (_dcfg)
+    engine.unroll = max(1, int(getattr(args, "unroll", 1)))
     return engine
 
 
@@ -269,6 +276,7 @@ def main() -> None:
         "ckpt": args.ckpt,
         "int8_weights": bool(args.int8_weights),
         "kv_bits": int(args.kv_bits),
+        "unroll": int(getattr(args, "unroll", 1)),
         "n_notes": head["n_notes"],
         "decoded_tokens": head["tokens_real"],
         "mfu": mfu(head),

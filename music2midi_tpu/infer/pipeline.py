@@ -123,6 +123,12 @@ class Music2MIDI:
         # (jnp.int4 EXPERIMENT — see decode.py DecodeConfig.kv_bits;
         # check quality with evaluate.py before serving with it)
         self.kv_bits: int = 8
+        # decode steps per while-loop iteration (DecodeConfig.unroll):
+        # the early-exit check runs every `unroll` steps, trading a few
+        # overshoot tokens for fewer loop-condition broadcasts.  Greedy
+        # tokens are UNCHANGED (finished rows keep emitting PAD inside a
+        # chunk); measure with bench.py --unroll before serving with it
+        self.unroll: int = 1
         # sampling decode variants (BASELINE config 3): 0.0 => greedy
         # (the parity mode); set temperature/top_k for stochastic covers
         self.temperature: float = 0.0
@@ -313,6 +319,7 @@ class Music2MIDI:
             quantize_self_kv=bool(int8),
             quantize_weights=bool(self.int8_weights),
             kv_bits=int(self.kv_bits),
+            unroll=int(self.unroll),
         )
 
     @property

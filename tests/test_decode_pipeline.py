@@ -485,3 +485,22 @@ def test_generate_batch_audio_paths_mode(engine, tmp_path):
     # truncate the output (zip regression)
     with pytest.raises(ValueError):
         engine.generate_batch(songs, cond_indices=[[0, 0]])
+
+
+def test_unroll_greedy_parity(setup):
+    """DecodeConfig.unroll (and the engine's .unroll knob) must not
+    change greedy tokens or lengths — finished rows emit PAD inside an
+    unrolled chunk, and the early-exit check between chunks only
+    affects how much overshoot work runs, never the outputs."""
+    params, cfg, enc = setup
+    base_t, base_l = generate_tokens(
+        params, enc, cfg, DecodeConfig(max_length=24)
+    )
+    for unroll in (2, 3, 8):
+        t, l = generate_tokens(
+            params, enc, cfg, DecodeConfig(max_length=24, unroll=unroll)
+        )
+        np.testing.assert_array_equal(np.asarray(t), np.asarray(base_t),
+                                      err_msg=f"unroll={unroll}")
+        np.testing.assert_array_equal(np.asarray(l), np.asarray(base_l),
+                                      err_msg=f"unroll={unroll}")
