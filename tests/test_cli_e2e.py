@@ -563,3 +563,67 @@ def test_load_engine_defaults_to_model_of_record(monkeypatch, tmp_path):
     # trained weights, not an init: embeddings have structure
     emb = np.asarray(eng.params["shared_embedding"], np.float32)
     assert float(np.abs(emb).max()) > 1.0
+
+
+def test_train_cli_init_from_npz(mini_dataset, tmp_path, monkeypatch):
+    """--init_from warm-starts PARAMS from an npz export with a fresh
+    optimizer/step (fine-tuning), unlike --ckpt which resumes state."""
+    import numpy as np
+
+    root, cfg_path = mini_dataset
+    out = tmp_path / "runs"
+    monkeypatch.setattr(
+        sys, "argv",
+        ["train.py", str(root), "--config", str(cfg_path), "--name", "a",
+         "--out_dir", str(out), "--max_steps", "2"],
+    )
+    sys.path.insert(0, "/root/repo")
+    import train as train_cli
+
+    train_cli.main()
+    step_dir = sorted((out / "a" / "ckpt").glob("step_*"))[-1]
+
+    from music2midi_tpu.train.checkpoint import (
+        restore_params,
+        save_params_npz,
+    )
+
+    params, _ = restore_params(step_dir)
+    npz = tmp_path / "warm.npz"
+    save_params_npz(npz, params, None, dtype="float32")
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["train.py", str(root), "--config", str(cfg_path), "--name", "b",
+         "--out_dir", str(out), "--max_steps", "1",
+         "--init_from", str(npz)],
+    )
+    train_cli.main()
+    # fine-tune starts at step 0 -> first checkpoint is step_00000001
+    fine = sorted((out / "b" / "ckpt").glob("step_*"))
+    assert fine and fine[0].name.endswith("1"), fine
+    fine_params, _ = restore_params(fine[0])
+    # one step moved the params away from the warm start, but they are
+    # the warm-start weights' trajectory, not a fresh init: distance to
+    # the warm start must be far smaller than to a fresh seed-0 init
+    from music2midi_tpu.config import load_config
+    from music2midi_tpu.models import init_params, t5_config_from
+
+    cfg = load_config(cfg_path)
+    fresh = init_params(
+        0, t5_config_from(cfg),
+        tuple(len(v) for v in cfg.conditioning.values()),
+    )
+
+    def dist(a, b):
+        import jax
+
+        return sum(
+            float(np.abs(np.asarray(x, np.float32)
+                         - np.asarray(y, np.float32)).sum())
+            for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b))
+        )
+
+    # run a took 2 steps from the same seed; the fine-tune is 1 step
+    # from the warm start — so ~1 step of drift vs ~3 steps to fresh
+    assert dist(fine_params, params) < 0.5 * dist(fine_params, fresh)

@@ -41,6 +41,13 @@ def parse_args():
         help="checkpoint dir to resume training",
     )
     parser.add_argument(
+        "--init_from", type=str, default=None,
+        help="warm-start fine-tuning: initialize PARAMS from any "
+             "checkpoint (npz export / save_params dir / training "
+             "ckpt) with a fresh optimizer and step 0 — unlike --ckpt, "
+             "which resumes the full training state",
+    )
+    parser.add_argument(
         "--run_id", type=str, default=None,
         help="wandb run id to resume (when wandb is installed)",
     )
@@ -177,7 +184,20 @@ def main():
     mel_cfg = log_mel_config_from(config)
     tokenizer = MidiTokenizer(config)
     num_cond = tuple(len(v) for v in config.conditioning.values())
-    params = init_params(args.seed, t5_cfg, num_cond)
+    if args.init_from:
+        # warm start: PARAMS ONLY from any checkpoint restore_params
+        # accepts (npz export incl. the model of record, save_params
+        # dir, training ckpt); optimizer state and step start fresh —
+        # this is fine-tuning, not a resume (--ckpt is the resume path)
+        from music2midi_tpu.train.checkpoint import restore_params
+
+        params, _ = restore_params(args.init_from)
+        params = jax.tree.map(
+            lambda x: np.asarray(x, dtype=np.float32), params
+        )
+        print(f"warm start: params from {args.init_from}")
+    else:
+        params = init_params(args.seed, t5_cfg, num_cond)
 
     # dp must divide the batch size; use the largest divisor that fits the
     # device count after carving out tp
