@@ -182,7 +182,10 @@ def test_two_process_full_train_step():
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=420)
+            # generous: on the 1-core host a concurrent TPU trainer's
+            # host thread can triple compile times (full-suite runs
+            # alongside chains hit this; standalone takes ~150 s)
+            out, _ = p.communicate(timeout=900)
             outs.append(out)
     except subprocess.TimeoutExpired:
         for p in procs:
