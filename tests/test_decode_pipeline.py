@@ -504,3 +504,21 @@ def test_unroll_greedy_parity(setup):
                                       err_msg=f"unroll={unroll}")
         np.testing.assert_array_equal(np.asarray(l), np.asarray(base_l),
                                       err_msg=f"unroll={unroll}")
+
+
+def test_generate_batch_decode_stats(engine):
+    """last_decode_stats invariants: row_steps covers exactly the real
+    rows, tokens_real is their sum, steps is the lockstep max, and the
+    batch width is the padded bucket size."""
+    rng = np.random.default_rng(21)
+    songs = [(rng.normal(size=7 * 16000) * 0.2).astype(np.float32)]
+    engine.generate_batch(songs)
+    stats = engine.last_decode_stats
+    assert stats, "generate_batch must record stats"
+    n_chunks = sum(s["real_rows"] for s in stats)
+    assert n_chunks == 3  # 7 s -> ceil(7/3) chunks
+    for s in stats:
+        assert len(s["row_steps"]) == s["real_rows"]
+        assert s["tokens_real"] == sum(s["row_steps"])
+        assert s["steps"] >= max(s["row_steps"])
+        assert s["batch_width"] >= s["real_rows"]
