@@ -223,7 +223,10 @@ def main():
     global engine, batcher
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--ckpt", type=str, default=None,
-                        help="model checkpoint (orbax dir or torch .ckpt)")
+                        help="model checkpoint (npz export, orbax dir, or "
+                             "torch .ckpt; default: the committed "
+                             "checkpoints/model_of_record.npz when present, "
+                             "else random weights)")
     parser.add_argument(
         "--config", type=str, default=None,
         help="config path (default: ./config.yaml if present, else the"
