@@ -627,3 +627,68 @@ def test_train_cli_init_from_npz(mini_dataset, tmp_path, monkeypatch):
     # run a took 2 steps from the same seed; the fine-tune is 1 step
     # from the warm start — so ~1 step of drift vs ~3 steps to fresh
     assert dist(fine_params, params) < 0.5 * dist(fine_params, fresh)
+
+
+def test_make_mix_corpus(mini_dataset, tmp_path, monkeypatch):
+    """tools/make_mix_corpus.py merges two prepared corpora by symlink:
+    joint train/val split with prefixed ids, corpus A's test split kept
+    verbatim, corpus B's test split NOT linked (cross-corpus evaluation
+    must score the untouched source dirs)."""
+    import runpy
+    import shutil
+
+    root, _ = mini_dataset
+    # corpus B: same layout, different ids, 2 train / 1 val / 1 test
+    b = tmp_path / "corpus_b"
+    for sub in ("audio", "midi_numpy", "metadata"):
+        (b / sub).mkdir(parents=True)
+    b_ids = [f"b{k}" for k in range(4)]
+    for pid in b_ids:
+        shutil.copy(root / "audio" / "song0.wav", b / "audio" / f"{pid}.wav")
+        shutil.copy(
+            root / "midi_numpy" / "song0.npy", b / "midi_numpy" / f"{pid}.npy"
+        )
+        shutil.copy(
+            root / "metadata" / "song0.yaml", b / "metadata" / f"{pid}.yaml"
+        )
+    np.savez(
+        b / "dataset_split.npz",
+        train_id=np.array(b_ids[:2]),
+        val_id=np.array(b_ids[2:3]),
+        test_id=np.array(b_ids[3:]),
+    )
+
+    out = tmp_path / "mix"
+    argv = [
+        "make_mix_corpus.py", str(root), str(b), str(out), "--prefix", "hard_"
+    ]
+    monkeypatch.setattr(sys, "argv", argv)
+    runpy.run_path("/root/repo/tools/make_mix_corpus.py", run_name="__main__")
+    # idempotent rerun: existing symlinks are skipped, not an error
+    runpy.run_path("/root/repo/tools/make_mix_corpus.py", run_name="__main__")
+
+    split = np.load(out / "dataset_split.npz", allow_pickle=True)
+    assert sorted(split["train_id"]) == sorted(
+        ["song0", "song1", "song2", "song3", "hard_b0", "hard_b1"]
+    )
+    assert sorted(split["val_id"]) == ["hard_b2", "song4"]
+    # test split is corpus A's, untouched; B's test song is not linked
+    assert list(split["test_id"]) == ["song5"]
+    assert not (out / "audio" / "hard_b3.wav").exists()
+
+    for pid, ext_dir, ext in [
+        ("hard_b0", "audio", ".wav"),
+        ("hard_b0", "midi_numpy", ".npy"),
+        ("hard_b0", "metadata", ".yaml"),
+        ("song0", "audio", ".wav"),
+    ]:
+        p = out / ext_dir / f"{pid}{ext}"
+        assert p.is_symlink() and p.exists(), p
+
+    # the merged dir is a loadable training corpus, including a B song
+    # reached through its prefixed symlink
+    from music2midi_tpu.data import Music2MIDIDataset
+
+    ds = Music2MIDIDataset(out, np.array(["hard_b0", "song0"]), None)
+    w, notes, cond = ds.__getitem__(0, np.random.default_rng(0))
+    assert w.shape == (3 * 22050,) and len(notes) > 0
