@@ -143,7 +143,9 @@ def _load_engine(args, trained: bool):
     if args.int8_weights:
         engine.int8_weights = True
     engine.kv_bits = args.kv_bits  # != 8 implies quantized KV (_dcfg)
-    engine.unroll = max(1, int(getattr(args, "unroll", 1)))
+    # clamp on args too so the result JSON records what actually ran
+    args.unroll = max(1, int(args.unroll))
+    engine.unroll = args.unroll
     return engine
 
 
@@ -276,7 +278,7 @@ def main() -> None:
         "ckpt": args.ckpt,
         "int8_weights": bool(args.int8_weights),
         "kv_bits": int(args.kv_bits),
-        "unroll": int(getattr(args, "unroll", 1)),
+        "unroll": int(args.unroll),
         "n_notes": head["n_notes"],
         "decoded_tokens": head["tokens_real"],
         "mfu": mfu(head),

@@ -40,6 +40,12 @@ def load_engine(ckpt: str, config_path: str, dtype: str = "float32"):
 
     jdtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[dtype]
     if ckpt is None:
+        # reachable when --config was given (the model-of-record default
+        # only applies to a bare invocation: an explicit config may
+        # describe a different architecture) or no record is committed
+        print("WARNING: no checkpoint — running RANDOM weights; pass "
+              "--ckpt (e.g. checkpoints/model_of_record.npz) for real "
+              "transcriptions")
         return Music2MIDI.from_random(config=config_path, dtype=jdtype)
     p = Path(ckpt)
     if p.suffix == ".ckpt" or p.suffix == ".pt":

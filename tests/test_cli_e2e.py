@@ -634,6 +634,7 @@ def test_make_mix_corpus(mini_dataset, tmp_path, monkeypatch):
     joint train/val split with prefixed ids, corpus A's test split kept
     verbatim, corpus B's test split NOT linked (cross-corpus evaluation
     must score the untouched source dirs)."""
+    import os
     import runpy
     import shutil
 
@@ -692,3 +693,22 @@ def test_make_mix_corpus(mini_dataset, tmp_path, monkeypatch):
     ds = Music2MIDIDataset(out, np.array(["hard_b0", "song0"]), None)
     w, notes, cond = ds.__getitem__(0, np.random.default_rng(0))
     assert w.shape == (3 * 22050,) and len(notes) > 0
+
+    # CWD-relative corpus arguments must still produce working links
+    # (the tool resolves sources to absolute paths before symlinking)
+    out_rel = tmp_path / "mix_rel"
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr(
+        sys, "argv",
+        ["make_mix_corpus.py", str(root), "corpus_b", "mix_rel",
+         "--prefix", "hard_"],
+    )
+    runpy.run_path("/root/repo/tools/make_mix_corpus.py", run_name="__main__")
+    p = out_rel / "audio" / "hard_b0.wav"
+    assert p.is_symlink() and p.exists() and os.path.isabs(os.readlink(p))
+
+    # a stale/broken link from an earlier merge is repaired, not kept
+    p.unlink()
+    p.symlink_to(tmp_path / "gone.wav")
+    runpy.run_path("/root/repo/tools/make_mix_corpus.py", run_name="__main__")
+    assert p.exists(), "rerun must relink a stale symlink"

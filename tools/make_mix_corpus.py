@@ -48,8 +48,16 @@ def main() -> None:
     def link(src: Path, dst: Path) -> None:
         if not src.exists():
             raise FileNotFoundError(src)
-        if not dst.is_symlink() and not dst.exists():
-            os.symlink(src, dst)
+        # resolve: a CWD-relative corpus argument would otherwise be
+        # stored verbatim in the link and break once read from out_dir
+        target = src.resolve()
+        if dst.is_symlink():
+            if Path(os.readlink(dst)) == target:
+                return
+            dst.unlink()  # stale link from an earlier merge: repair it
+        elif dst.exists():
+            raise FileExistsError(f"{dst} exists and is not a symlink")
+        os.symlink(target, dst)
 
     for sub, ext in EXT.items():
         for f in sorted((args.corpus_a / sub).glob(f"*{ext}")):

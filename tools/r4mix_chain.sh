@@ -2,7 +2,8 @@
 # r4mix chain: fine-tune the clean model of record on a MIXED
 # clean+hard corpus (480 train songs = corpus400's 320 clean +
 # corpus200h's 160 hard, hard ids prefixed "hard_", symlink-merged in
-# /root/runs/corpus_mix by a one-shot script — see PERFORMANCE.md).
+# /root/runs/corpus_mix by tools/make_mix_corpus.py — see
+# PERFORMANCE.md).
 #
 # Question (the lever named in PERFORMANCE.md's r4ft section): can ONE
 # model hold the clean record's 0.9011 AND the fine-tune's 0.8419 on
@@ -23,28 +24,9 @@ DCLEAN=/root/runs/corpus400
 R=/root/runs/r4mix
 CFG=configs/synth16k_aug.yaml
 RECORD=checkpoints/model_of_record.npz
-STAMP() { date -u +%FT%TZ; }
+EVAL_PREFIX="r4mix scores"
+. tools/chain_lib.sh
 mkdir -p "$R"
-
-commit_retry() {
-  local msg="$1"; shift
-  for i in 1 2 3 4 5; do
-    if git add -- "$@" && git commit -m "$msg" -- "$@"; then return 0; fi
-    echo "commit_retry: attempt $i failed; waiting"; sleep 23
-  done
-  return 1
-}
-
-evalrun() { # evalrun NAME DATA_DIR [args ...]
-  local name="$1" dir="$2"; shift 2
-  if [ ! -f "scores/score-$name.csv" ]; then
-    if ! python evaluate.py "$dir" --name "$name" "$@"; then
-      echo "evalrun $name FAILED"; return 1
-    fi
-  fi
-  git log --oneline -- "scores/score-$name.csv" | grep -q . || \
-    commit_retry "r4mix scores: $name" "scores/score-$name.csv" || return 1
-}
 
 train_to() { # train_to MAX_STEPS STAGE_STAMP
   local max_steps="$1" stamp="$2"
@@ -65,6 +47,21 @@ train_to() { # train_to MAX_STEPS STAGE_STAMP
   done
   [ -f "$R/$stamp" ]
 }
+
+echo "== $(STAMP) stage 0: merged corpus present? =="
+if [ ! -f "$D/dataset_split.npz" ]; then
+  for src in "$DCLEAN" "$DHARD"; do
+    if [ ! -f "$src/dataset_split.npz" ]; then
+      echo "source corpus $src is missing — build it first"; exit 1
+    fi
+  done
+  python tools/make_mix_corpus.py "$DCLEAN" "$DHARD" "$D" \
+    --prefix hard_ || exit 1
+fi
+
+# never start a trainer while another process holds the chip: a blocked
+# trainer would burn its 4h timeout and get killed mid-stall
+wait_tpu_free || exit 1
 
 echo "== $(STAMP) stage 1: mixed fine-tune to 4k steps =="
 train_to 4000 .stage1_done || exit 1

@@ -191,9 +191,25 @@ def main():
         # this is fine-tuning, not a resume (--ckpt is the resume path)
         from music2midi_tpu.train.checkpoint import restore_params
 
-        params, _ = restore_params(args.init_from)
+        params, ck_cfg = restore_params(args.init_from)
+        if ck_cfg is not None:
+            # fail with a clear message instead of an opaque shape error
+            # at the first train step (dtype is a runtime choice, not an
+            # architecture field — exclude it from the comparison)
+            theirs = t5_config_from(ck_cfg, dtype=t5_cfg.dtype)
+            if theirs != t5_cfg:
+                raise SystemExit(
+                    f"--init_from architecture mismatch: checkpoint has "
+                    f"{theirs}, --config builds {t5_cfg}"
+                )
+        # train in fp32; keep any integer leaves (e.g. a quantized
+        # export) bit-exact the way save_params_npz does.  bfloat16 is
+        # dtype.kind "V" in numpy, so test for integer kinds, not float
         params = jax.tree.map(
-            lambda x: np.asarray(x, dtype=np.float32), params
+            lambda x: np.asarray(x)
+            if np.asarray(x).dtype.kind in "iu"
+            else np.asarray(x, dtype=np.float32),
+            params,
         )
         print(f"warm start: params from {args.init_from}")
     else:

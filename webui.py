@@ -225,8 +225,9 @@ def main():
     parser.add_argument("--ckpt", type=str, default=None,
                         help="model checkpoint (npz export, orbax dir, or "
                              "torch .ckpt; default: the committed "
-                             "checkpoints/model_of_record.npz when present, "
-                             "else random weights)")
+                             "checkpoints/model_of_record.npz when present "
+                             "AND --config is not given, else random "
+                             "weights)")
     parser.add_argument(
         "--config", type=str, default=None,
         help="config path (default: ./config.yaml if present, else the"
