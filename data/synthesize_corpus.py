@@ -280,6 +280,82 @@ def render_hard(
     return np.tanh(mix * 1.2).astype(np.float32)  # gentle bus saturation
 
 
+def render_piano(
+    midi: MidiFile, sr: int, rng: np.random.Generator
+) -> np.ndarray:
+    """Realistic-piano rendering (the timbre-generalization probe).
+
+    The corpora train on the additive synth — three exact harmonics
+    under a flat envelope (midi.py `synthesize`).  A real piano differs
+    in exactly the dimensions this voice adds: inharmonically stretched
+    partials (``f_k = k f0 sqrt(1 + B k^2)``, stiff-string dispersion,
+    B rising bass->treble), velocity-dependent spectral brightness,
+    per-partial exponential decay (treble notes and high partials die
+    faster), two-string detuning beats, a hammer-noise transient, and a
+    damper release tail.  Note TIMING is untouched — labels derived
+    from a clean render of the same performance stay exactly valid
+    (tools/make_timbre_eval.py depends on this).
+    """
+    end = midi.get_end_time()
+    if end <= 0:
+        return np.zeros(1, dtype=np.float32)
+    tail = 0.25  # strings ring past key release until the damper kills them
+    n = int(np.ceil((end + tail) * sr)) + 1
+    out = np.zeros(n, np.float64)
+    nyq = 0.45 * sr
+    for inst in midi.instruments:
+        if inst.is_drum:
+            continue
+        for note in inst.notes:
+            f0 = 440.0 * 2.0 ** ((note.pitch - 69) / 12.0)
+            held = note.end - note.start
+            m = int(min(held + tail, 8.0) * sr)
+            if f0 >= nyq or m <= 0:
+                continue
+            t = np.arange(m) / sr
+            vel = note.velocity / 127.0
+            # stiff-string inharmonicity, ~2 decades across the keyboard
+            B = 2e-4 * 2.0 ** ((note.pitch - 60) / 15.0)
+            k = np.arange(1, int(min(16, nyq // f0)) + 1, dtype=np.float64)
+            fk = k * f0 * np.sqrt(1.0 + B * k * k)
+            keep = fk < nyq
+            k, fk = k[keep], fk[keep]
+            if len(k) == 0:
+                continue
+            amp = k ** -(2.8 - 1.4 * vel)  # louder = brighter rolloff
+            # bass rings for seconds, treble for fractions; partial k
+            # decays ~(1 + 0.55 (k-1)) times faster than the fundamental
+            tau0 = float(np.clip(4.5 * (261.6 / f0) ** 0.7, 0.18, 9.0))
+            tau_k = tau0 / (1.0 + 0.55 * (k - 1.0))
+            phase = rng.uniform(0.0, 2.0 * np.pi, len(k))
+            # a second, slightly detuned string per note -> slow
+            # amplitude beats (sin a + sin b = 2 sin(mid) cos(half-diff))
+            df = fk * rng.normal(8e-4, 3e-4)
+            sig = (
+                amp[:, None]
+                * np.exp(-t[None, :] / tau_k[:, None])
+                * np.sin(
+                    2 * np.pi * fk[:, None] * t[None, :] + phase[:, None]
+                )
+                * np.cos(np.pi * df[:, None] * t[None, :])
+            ).sum(axis=0)
+            sig *= np.minimum(1.0, t / 0.004)  # hammer attack ramp
+            nh = min(int(0.012 * sr), m - 1)
+            if nh > 1:  # high-passed (diff'd) hammer noise thump
+                burst = np.diff(rng.normal(0.0, 1.0, nh + 1))
+                sig[:nh] += (
+                    0.25 * vel * burst
+                    * np.exp(-np.arange(nh) / (0.004 * sr))
+                )
+            # damper: fast extra decay once the key is released
+            sig *= np.exp(-np.maximum(0.0, t - held) / 0.045)
+            i0 = int(note.start * sr)
+            i1 = min(i0 + m, n)
+            out[i0:i1] += (vel ** 1.3) * sig[: i1 - i0]
+    peak = float(np.abs(out).max())
+    return (out / peak if peak > 0 else out).astype(np.float32)
+
+
 def warp_notes(midi: MidiFile, seed: int, max_dev: float = 0.05) -> MidiFile:
     """Piecewise-linear tempo warp: a smooth random time map with local
     rate in [1-max_dev, 1+max_dev] — the 'human performance' the aligner
@@ -320,12 +396,15 @@ def main() -> None:
                              "(clean profile)")
     parser.add_argument("--sample_rate", type=int, default=22050)
     parser.add_argument(
-        "--profile", choices=["clean", "hard"], default="clean",
+        "--profile", choices=["clean", "hard", "piano"], default="clean",
         help="clean = additive synth + light noise (the r3 corpora); "
              "hard = mix realism (VERDICT r3 #6): vocal-like formant "
              "lead doubling the melody, off-score drum transients, room "
              "reverb, pink-noise floor, phrase dynamics, and a stronger "
-             "(+-12%%) tempo warp",
+             "(+-12%%) tempo warp; piano = realistic solo-piano voice "
+             "(inharmonic partials, velocity brightness, per-partial "
+             "decay, hammer noise) with phrase dynamics and the clean "
+             "warp — the timbre-generalization profile",
     )
     args = parser.parse_args()
 
@@ -357,6 +436,12 @@ def main() -> None:
             y = render_hard(
                 performed, score.bar_duration, args.sample_rate, rng
             )
+        elif args.profile == "piano":
+            performed = shape_velocities(performed, song_seed)
+            y = render_piano(performed, args.sample_rate, rng)
+            if args.noise > 0:
+                y = y + rng.normal(
+                    0.0, args.noise, len(y)).astype(np.float32)
         else:
             y = performed.synthesize(fs=args.sample_rate).astype(np.float32)
             if args.noise > 0:

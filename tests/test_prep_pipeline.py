@@ -201,3 +201,141 @@ def test_synthesize_corpus_hard_profile(tmp_path, monkeypatch):
     a = (tmp_path / "c" / "midi" / "synth000.mid").read_bytes()
     b = (tmp_path / "h" / "midi" / "synth000.mid").read_bytes()
     assert a == b
+
+def _synth_mod():
+    import importlib
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "data"))
+    try:
+        return importlib.import_module("synthesize_corpus")
+    finally:
+        sys.path.pop(0)
+
+
+def test_render_piano_timbre_properties():
+    """The realistic-piano voice must differ from the training additive
+    synth exactly where a real piano does: partials past the 3rd
+    harmonic, velocity-dependent brightness, amplitude decay, and a
+    damper tail after key release — while keeping the fundamental at
+    the note's true pitch (labels stay valid)."""
+    from music2midi_tpu.midi import Instrument, MidiFile, Note
+
+    sc = _synth_mod()
+    sr = 22050
+
+    def one_note(vel):
+        m = MidiFile()
+        inst = Instrument(program=0)
+        inst.notes.append(Note(start=0.0, end=1.5, pitch=69, velocity=vel))
+        m.instruments = [inst]
+        return m
+
+    y = sc.render_piano(one_note(90), sr, np.random.default_rng(0))
+    assert np.all(np.isfinite(y)) and np.abs(y).max() <= 1.0 + 1e-6
+    # rendered length covers the damper tail past note-off
+    assert len(y) >= int(1.6 * sr)
+
+    def spectrum(sig, lo_t, hi_t):
+        seg = sig[int(lo_t * sr):int(hi_t * sr)].astype(np.float64)
+        spec = np.abs(np.fft.rfft(seg)) ** 2
+        freqs = np.fft.rfftfreq(len(seg), 1 / sr)
+        return spec, freqs
+
+    spec, freqs = spectrum(y, 0.05, 1.05)
+    # fundamental AT A440 (k=1 inharmonic stretch is < 0.1%)
+    assert 430 < freqs[np.argmax(spec)] < 452
+
+    def band_frac(spec, freqs, lo, hi):
+        return float(spec[(freqs >= lo) & (freqs < hi)].sum()
+                     / max(spec.sum(), 1e-30))
+
+    # energy at the 4th partial (~1760+ Hz with stretch) — the additive
+    # training synth (3 exact harmonics) has essentially none there
+    y_add = one_note(90).synthesize(fs=sr)
+    spec_a, freqs_a = spectrum(y_add, 0.05, 1.05)
+    p4 = band_frac(spec, freqs, 1700, 1900)
+    p4_add = band_frac(spec_a, freqs_a, 1700, 1900)
+    assert p4 > 1e-4 and p4 > 10 * p4_add, (p4, p4_add)
+
+    # velocity brightness: the loud note carries a larger HF fraction
+    y_soft = sc.render_piano(one_note(40), sr, np.random.default_rng(0))
+    y_loud = sc.render_piano(one_note(120), sr, np.random.default_rng(0))
+    s_soft, f_soft = spectrum(y_soft, 0.05, 1.05)
+    s_loud, f_loud = spectrum(y_loud, 0.05, 1.05)
+    assert (band_frac(s_loud, f_loud, 1500, 9000)
+            > 1.5 * band_frac(s_soft, f_soft, 1500, 9000))
+
+    def rms(sig, lo_t, hi_t):
+        seg = sig[int(lo_t * sr):int(hi_t * sr)]
+        return float(np.sqrt(np.mean(seg ** 2)))
+
+    # strings decay while held...
+    assert rms(y, 1.0, 1.3) < rms(y, 0.05, 0.35)
+    # ...and the damper kills them fast after key release at 1.5 s
+    assert rms(y, 1.55, 1.65) < 0.5 * rms(y, 1.35, 1.45)
+
+
+def test_make_timbre_eval_corpus(tmp_path, monkeypatch):
+    """tools/make_timbre_eval.py re-renders ONLY the chosen split with the
+    piano voice, byte-verifies its seed derivation against the source
+    corpus, symlinks labels/metadata verbatim, and fails loudly on a
+    wrong seed."""
+    import runpy
+
+    src = tmp_path / "src"
+    cfg = str(Path(__file__).resolve().parent.parent / "config.yaml")
+    _run("synthesize_corpus",
+         ["synthesize_corpus.py", str(src), "--songs", "4",
+          "--duration", "12", "--seed", "5"], monkeypatch)
+    _run("align_audio_midi",
+         ["align_audio_midi.py", str(src), "--config", cfg,
+          "--workers", "2"], monkeypatch)
+    _run("midi_to_numpy",
+         ["midi_to_numpy.py", str(src), "--workers", "2"], monkeypatch)
+    monkeypatch.chdir(src)
+    _run("compute_metrics",
+         ["compute_metrics.py", str(src), "--config", cfg], monkeypatch)
+    _run("generate_split",
+         ["generate_split.py", str(src), "--config", cfg], monkeypatch)
+
+    split = np.load(src / "dataset_split.npz", allow_pickle=True)
+    use = "test" if len(split["test_id"]) else "train"
+    ids = [str(p) for p in split[f"{use}_id"]]
+    assert ids
+
+    tool = str(Path(__file__).resolve().parent.parent / "tools"
+               / "make_timbre_eval.py")
+    dst = tmp_path / "piano"
+    monkeypatch.setattr(sys, "argv", [
+        "make_timbre_eval.py", str(src), str(dst), "--split", use,
+        "--seed", "5", "--duration", "12"])
+    runpy.run_path(tool, run_name="__main__")
+
+    from music2midi_tpu.audio import load as load_audio
+
+    for pid in ids:
+        wav = dst / "audio" / f"{pid}.wav"
+        assert wav.exists() and not wav.is_symlink()
+        # labels and metadata are the SOURCE files, not copies
+        npy = dst / "midi_numpy" / f"{pid}.npy"
+        assert npy.is_symlink() and npy.resolve() == (
+            src / "midi_numpy" / f"{pid}.npy").resolve()
+        assert (dst / "metadata" / f"{pid}.yaml").is_symlink()
+        # same composition, different voice: timing-aligned but far from
+        # a copy of the source render
+        ya, _ = load_audio(src / "audio" / f"{pid}.wav")
+        yb, _ = load_audio(wav)
+        n = min(len(ya), len(yb))
+        assert abs(len(ya) - len(yb)) < 22050 // 2
+        assert abs(np.corrcoef(ya[:n], yb[:n])[0, 1]) < 0.95
+
+    # split file is carried over verbatim
+    s2 = np.load(dst / "dataset_split.npz", allow_pickle=True)
+    assert list(s2[f"{use}_id"]) == list(split[f"{use}_id"])
+
+    # wrong seed must fail the byte-identity derivation check
+    monkeypatch.setattr(sys, "argv", [
+        "make_timbre_eval.py", str(src), str(tmp_path / "bad"),
+        "--split", use, "--seed", "6", "--duration", "12"])
+    with pytest.raises(SystemExit, match="seed-derivation check FAILED"):
+        runpy.run_path(tool, run_name="__main__")
