@@ -33,6 +33,29 @@ evalrun() { # evalrun NAME DATA_DIR [evaluate.py args ...]
     || return 1
 }
 
+promote_record() { # promote_record SRC_NPZ COMMIT_MSG
+  # The ONLY sanctioned way for a chain to update the model of record:
+  # the serving calibration gate (tools/calibration_check.py, CPU-only)
+  # runs on the candidate FIRST and a FAIL aborts the promotion — the r4
+  # regression shipped because this gate was advisory prose (VERDICT r4
+  # weak #3).  Also runs on the copy after the commit as a paranoia
+  # re-check of what was actually committed.
+  local src="$1" msg="$2"
+  python tools/calibration_check.py "$src" || {
+    echo "promote_record: $src FAILS the serving calibration gate — REFUSED"
+    return 1
+  }
+  cp "$src" checkpoints/model_of_record.npz || return 1
+  commit_retry "$msg" checkpoints/model_of_record.npz || return 1
+  python tools/calibration_check.py checkpoints/model_of_record.npz
+}
+
+split_mean_ci() { # split_mean_ci SCORE_NAME -> "mean=X ci95=[lo, hi]" line
+  # Quote the bootstrap CI next to every gate verdict (VERDICT r4 #7);
+  # uses the same estimator as tools/score_summary.py.
+  python tools/score_summary.py "scores/score-$1.csv" | head -1
+}
+
 wait_tpu_free() { # poll (read-only) until no other TPU-holding CLI runs
   local i
   for i in $(seq 1 240); do
