@@ -466,6 +466,15 @@ def test_bench_trained_mode(mini_dataset, tmp_path, monkeypatch, capsys):
     assert out["mode"] == "trained_eos"
     assert out["value"] > 0 and np.isfinite(out["value"])
     assert out["spread"]["min"] <= out["value"] <= out["spread"]["max"]
+    # co-equal headline percentiles + window-stability flag (VERDICT r4 #6)
+    assert out["p50"] == out["value"]
+    assert out["p10"] <= out["p50"] <= out["p90"]
+    assert isinstance(out["window_stable"], bool)
+    ratio = out["spread_ratio_p90_p10"]
+    # ratio is rounded to 3 decimals in the JSON — only assert the flag
+    # away from the 1.5 boundary
+    if ratio is not None and abs(ratio - 1.5) > 0.002:
+        assert out["window_stable"] == (ratio < 1.5)
     assert out["n_notes"] >= 0
     assert out["latency_song_seconds"] == pytest.approx(9.5, abs=0.2)
 
