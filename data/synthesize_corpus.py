@@ -280,6 +280,156 @@ def render_hard(
     return np.tanh(mix * 1.2).astype(np.float32)  # gentle bus saturation
 
 
+def _bass_stem(
+    performed: MidiFile, sr: int, rng: np.random.Generator
+) -> np.ndarray:
+    """A produced synth-bass line an octave below the score's bass notes,
+    re-grooved to eighth notes: harmonically consistent with the labels
+    (same roots) but rhythmically and timbrally OFF-score — the
+    'bass louder than the piano' element of a real mix (the house-loop
+    probe's dominant energy).  Sine sub + soft-clipped saw layer."""
+    end = performed.get_end_time()
+    n = int((end + 1.0) * sr)
+    y = np.zeros(n, np.float32)
+    accomp = performed.instruments[-1]
+    bass_notes = [m for m in accomp.notes if m.pitch < 52]
+    step = 0.25  # eighth notes at ~120 bpm; fixed groove is fine
+    for m in bass_notes:
+        f0 = 440.0 * 2.0 ** ((m.pitch - 12 - 69) / 12.0)
+        t0 = m.start
+        while t0 < m.end - 1e-3:
+            dur = min(step * rng.uniform(0.7, 0.95), m.end - t0)
+            t = np.arange(int(dur * sr)) / sr
+            env = np.minimum(1.0, t / 0.005) * np.exp(-t / 0.35)
+            saw = 2.0 * ((f0 * t) % 1.0) - 1.0
+            sig = (np.sin(2 * np.pi * f0 * t)
+                   + 0.35 * np.tanh(2.5 * saw)) * env
+            i0 = int(t0 * sr)
+            i1 = min(i0 + len(sig), n)
+            if i0 < n:
+                y[i0:i1] += sig[: i1 - i0].astype(np.float32)
+            t0 += step
+    peak = float(np.abs(y).max())
+    return y / peak if peak > 0 else y
+
+
+def _pad_stem(
+    performed: MidiFile, sr: int, rng: np.random.Generator
+) -> np.ndarray:
+    """Sustained detuned-saw chord pad (low-passed) under the mix: the
+    'chords' element of a produced track.  Follows the score's block
+    chords (pitches 52..70 of the accompaniment) but legato-sustained,
+    so its note boundaries do not match any label onset."""
+    end = performed.get_end_time()
+    n = int((end + 1.0) * sr)
+    y = np.zeros(n, np.float64)
+    accomp = performed.instruments[-1]
+    chord_notes = [m for m in accomp.notes if m.pitch >= 52]
+    nyq = 0.45 * sr
+    for m in chord_notes:
+        f0 = 440.0 * 2.0 ** ((m.pitch - 12 - 69) / 12.0)
+        dur = (m.end - m.start) * 1.6  # legato overlap past the block chord
+        t = np.arange(int(dur * sr)) / sr
+        sig = np.zeros(len(t))
+        for det in (-1.0, 1.0):
+            f = f0 * (1.0 + det * rng.uniform(2e-3, 5e-3))
+            # band-limited-ish saw: first 6 harmonics, 1/k rolloff (the
+            # low-pass), keeps it pad-like instead of buzzy
+            for k in range(1, 7):
+                if k * f >= nyq:
+                    break
+                sig += np.sin(2 * np.pi * k * f * t
+                              + rng.uniform(0, 2 * np.pi)) / k
+        env = np.minimum(1.0, t / 0.25) * np.minimum(
+            1.0, (t[-1] - t + 1e-3) / 0.4
+        )
+        i0 = int(m.start * sr)
+        i1 = min(i0 + len(t), n)
+        if i0 < n:
+            y[i0:i1] += (sig * env)[: i1 - i0]
+    peak = float(np.abs(y).max())
+    return (y / peak if peak > 0 else y).astype(np.float32)
+
+
+def _bus_compress(
+    y: np.ndarray, sr: int, thresh_db: float = -18.0, ratio: float = 4.0,
+    attack_s: float = 0.005, release_s: float = 0.12,
+) -> np.ndarray:
+    """Frame-based mix-bus compressor: RMS envelope on 256-sample hops,
+    one-pole attack/release smoothing over FRAMES (a few thousand — the
+    Python loop is cheap), gain upsampled by linear interp.  Produces the
+    pumping loudness profile of produced music, which the clean corpora
+    never exhibit and real uploads almost always do."""
+    hop = 256
+    n_frames = max(1, int(np.ceil(len(y) / hop)))
+    pad = np.pad(y, (0, n_frames * hop - len(y)))
+    rms = np.sqrt(np.mean(pad.reshape(n_frames, hop) ** 2, axis=1) + 1e-12)
+    lvl_db = 20.0 * np.log10(rms)
+    over = np.maximum(0.0, lvl_db - thresh_db)
+    want_gr = over * (1.0 - 1.0 / ratio)  # desired gain reduction, dB
+    a_att = float(np.exp(-hop / (attack_s * sr)))
+    a_rel = float(np.exp(-hop / (release_s * sr)))
+    gr = np.empty(n_frames)
+    g = 0.0
+    for i in range(n_frames):
+        a = a_att if want_gr[i] > g else a_rel
+        g = a * g + (1.0 - a) * want_gr[i]
+        gr[i] = g
+    gain = 10.0 ** (-gr / 20.0)
+    t_frames = (np.arange(n_frames) + 0.5) * hop
+    gain_full = np.interp(np.arange(len(y)), t_frames, gain)
+    # ~6 dB makeup so the compressed mix sits hot, like a mastered track
+    return (y * gain_full * 2.0).astype(np.float32)
+
+
+def render_fullmix(
+    performed: MidiFile,
+    bar: float,
+    sr: int,
+    rng: np.random.Generator,
+) -> np.ndarray:
+    """Produced-track rendering (VERDICT r4 #5: the real-recording
+    transfer gap).  The hard profile buried the piano under a vocal lead
+    and drums; the tracked real-loop probe (pygame house_lo.wav —
+    bass/drums/chords with NO dominant melody instrument) fails
+    differently: the model has never seen a mix where harmonically
+    related bass+pad interference carries most of the energy under
+    bus compression.  This profile renders exactly that: piano (labels)
+    + sub-octave synth bass re-grooved to eighths + sustained detuned
+    pad + dense drums, reverb, pink-noise floor, then frame-based
+    mix-bus compression.  Labels untouched — only the piano's notes are
+    in the label MIDI path (cf. /root/reference/music2midi/dataset.py:124-133,
+    real-mix training conditions)."""
+    piano = performed.synthesize(fs=sr).astype(np.float32)
+    peak = float(np.abs(piano).max())
+    if peak > 0:
+        piano /= peak
+    dur = performed.get_end_time()
+    bass = _bass_stem(performed, sr, rng)
+    pad_ = _pad_stem(performed, sr, rng)
+    drums = _drum_stem(dur, bar, sr, rng)
+    vocal = _vocal_stem(performed, sr, rng)
+    vpeak = float(np.abs(vocal).max())
+    if vpeak > 0:
+        vocal /= vpeak
+    n = len(piano)
+
+    def fit(x):
+        return np.pad(x, (0, max(0, n - len(x))))[:n]
+
+    mix = (
+        rng.uniform(0.55, 0.85) * piano        # piano NOT dominant
+        + rng.uniform(0.45, 0.8) * fit(bass)   # bass carries the low end
+        + rng.uniform(0.25, 0.5) * fit(pad_)
+        + rng.uniform(0.3, 0.55) * fit(drums)
+        + rng.uniform(0.0, 0.3) * fit(vocal)   # sometimes a lead double
+    )
+    mix = _reverb(mix, sr, rng)
+    mix = mix + rng.uniform(0.005, 0.02) * _pink_noise(rng, n)
+    mix = _bus_compress(mix, sr)
+    return np.tanh(mix).astype(np.float32)  # brick-wall-ish bus limiter
+
+
 def render_piano(
     midi: MidiFile, sr: int, rng: np.random.Generator
 ) -> np.ndarray:
@@ -396,7 +546,8 @@ def main() -> None:
                              "(clean profile)")
     parser.add_argument("--sample_rate", type=int, default=22050)
     parser.add_argument(
-        "--profile", choices=["clean", "hard", "piano"], default="clean",
+        "--profile", choices=["clean", "hard", "piano", "fullmix"],
+        default="clean",
         help="clean = additive synth + light noise (the r3 corpora); "
              "hard = mix realism (VERDICT r3 #6): vocal-like formant "
              "lead doubling the melody, off-score drum transients, room "
@@ -404,7 +555,10 @@ def main() -> None:
              "(+-12%%) tempo warp; piano = realistic solo-piano voice "
              "(inharmonic partials, velocity brightness, per-partial "
              "decay, hammer noise) with phrase dynamics and the clean "
-             "warp — the timbre-generalization profile",
+             "warp — the timbre-generalization profile; fullmix = "
+             "produced-track conditions (VERDICT r4 #5): piano buried "
+             "under sub-bass + chord pad + dense drums with mix-bus "
+             "compression — the real-recording transfer profile",
     )
     args = parser.parse_args()
 
@@ -429,11 +583,16 @@ def main() -> None:
         song_seed = args.seed * 1000 + i
         score = compose_song(song_seed, args.duration)
         score.write(data_dir / "midi" / f"{pid}.mid")
-        max_dev = 0.12 if args.profile == "hard" else 0.05
+        max_dev = 0.12 if args.profile in ("hard", "fullmix") else 0.05
         performed = warp_notes(score, song_seed, max_dev=max_dev)
         if args.profile == "hard":
             performed = shape_velocities(performed, song_seed)
             y = render_hard(
+                performed, score.bar_duration, args.sample_rate, rng
+            )
+        elif args.profile == "fullmix":
+            performed = shape_velocities(performed, song_seed)
+            y = render_fullmix(
                 performed, score.bar_duration, args.sample_rate, rng
             )
         elif args.profile == "piano":
