@@ -62,6 +62,17 @@ def enable_compilation_cache(
     )
 
 
+@functools.lru_cache(maxsize=4)
+def _dither_tile(split_size: int) -> np.ndarray:
+    """Unit-RMS gaussian dither tile for Music2MIDI.input_dither, shared
+    by every chunk (dither needs an in-distribution noise floor, not
+    independence across chunks — each 3-s chunk is a separate model
+    input anyway).  Fixed seed: bit-deterministic across processes."""
+    return np.random.default_rng(0xD17E12).standard_normal(
+        split_size
+    ).astype(np.float32)
+
+
 def _bucket(n: int, cap: int) -> int:
     for b in _BUCKET_SIZES:
         if n <= b and b <= cap:
@@ -129,6 +140,23 @@ class Music2MIDI:
         # tokens are UNCHANGED (finished rows keep emitting PAD inside a
         # chunk); measure with bench.py --unroll before serving with it
         self.unroll: int = 1
+        # serving-side input normalization (r5dither, PERFORMANCE.md):
+        # deterministic gaussian dither at the training corpora's own
+        # noise RMS (data/synthesize_corpus.py --noise default 0.003),
+        # added in _chunk_waveform — the single chokepoint shared by
+        # generate / sample_notes / generate_batch — over the full
+        # zero-padded chunk array.  Digitally-silent audio (and the
+        # end-of-song pad region) otherwise drives log-mel to the 1e-6
+        # clamp, an input mixed-domain fine-tunes never saw in training:
+        # the r4mix/r4piano exports return ZERO notes on any waveform
+        # without a noise floor (reference serving contract:
+        # /root/reference/music2midi/model.py:84 — generate() must work
+        # on arbitrary uploads, often noise-floor-free DAW exports).
+        # Bit-deterministic (fixed-seed cached tile); int16 transport
+        # preserves it (quantization step 3.05e-5 << 0.003).  Set to 0.0
+        # to disable.  Parity tests feed pre-built chunks to
+        # sample_tokens_batched, which has no dither site.
+        self.input_dither: float = 0.003
         # sampling decode variants (BASELINE config 3): 0.0 => greedy
         # (the parity mode); set temperature/top_k for stochastic covers
         self.temperature: float = 0.0
@@ -387,7 +415,16 @@ class Music2MIDI:
         n_chunks = max(1, -(-len(wave) // split_size))
         padded = np.zeros(n_chunks * split_size, dtype=np.float32)
         padded[: len(wave)] = wave
-        return padded.reshape(n_chunks, split_size)
+        chunks = padded.reshape(n_chunks, split_size)
+        if self.input_dither > 0.0:
+            # one cached unit-RMS gaussian tile per chunk (fixed seed =>
+            # same waveform -> same output, across processes).  A single
+            # vectorized add instead of a fresh per-call RNG draw: host
+            # numpy crawls ~10x while the device runtime is live
+            # (CLAUDE.md), and this sits on the single-song latency path.
+            chunks = chunks + np.float32(self.input_dither) * \
+                _dither_tile(split_size)
+        return chunks
 
     def generate(
         self,

@@ -1,0 +1,103 @@
+"""Serving-side input dither (r5dither — PERFORMANCE.md pre-declared).
+
+The r4 failure class: digitally-silent background drives log-mel to the
+1e-6 clamp, an input mixed-domain fine-tunes never saw — the committed
+r4mix/r4piano exports return ZERO notes on any waveform without a noise
+floor (VERDICT r4 "what's missing" #1).  `Music2MIDI.input_dither`
+(default 0.003 — the training corpora's own noise RMS,
+data/synthesize_corpus.py --noise) adds a deterministic gaussian floor
+in `_chunk_waveform`, the single chokepoint shared by generate /
+sample_notes / generate_batch.
+
+Reference contract: generate() must work on arbitrary serving uploads
+(/root/reference/music2midi/model.py:84, /root/reference/webui.py:53-61).
+"""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+CKPTS = Path(__file__).resolve().parent.parent / "checkpoints"
+
+
+@pytest.fixture(scope="module")
+def engine():
+    from music2midi_tpu.infer import Music2MIDI
+
+    return Music2MIDI.from_random(seed=0, decode_max_length=8)
+
+
+def test_dither_default_on_and_deterministic(engine):
+    assert engine.input_dither == pytest.approx(0.003)
+    wave = np.zeros(70_000, dtype=np.float32)  # 2 chunks worth, padded
+    a = engine._chunk_waveform(wave)
+    b = engine._chunk_waveform(wave)
+    np.testing.assert_array_equal(a, b)  # bit-deterministic
+    # the noise floor has the declared RMS everywhere, including the
+    # zero-pad tail of the final chunk (the end-of-song OOD region)
+    assert a.shape[0] == 2
+    rms = float(np.sqrt(np.mean(a**2)))
+    assert 0.002 < rms < 0.004
+    tail = a.reshape(-1)[70_000:]
+    assert float(np.sqrt(np.mean(tail**2))) > 0.002
+    # every chunk carries the same tile (cached, seed-pinned)
+    np.testing.assert_array_equal(a[0], a[1])
+
+
+def test_dither_off_restores_exact_chunking(engine):
+    engine.input_dither = 0.0
+    try:
+        rng = np.random.default_rng(1)
+        wave = rng.standard_normal(50_000).astype(np.float32)
+        chunks = engine._chunk_waveform(wave)
+        flat = chunks.reshape(-1)
+        np.testing.assert_array_equal(flat[: len(wave)], wave)
+        np.testing.assert_array_equal(
+            flat[len(wave):], np.zeros(len(flat) - len(wave), np.float32)
+        )
+    finally:
+        engine.input_dither = 0.003
+
+
+def test_dither_rides_int16_transport(engine):
+    # serving transport is int16; the 0.003 floor (≈98 LSB) must survive
+    wave = np.zeros(48_000, dtype=np.float32)
+    chunks = engine._chunk_waveform(wave)
+    enc = (
+        np.clip(chunks * 32768.0, -32768, 32767).round().astype(np.int16)
+    )
+    assert float(np.mean(np.abs(enc.astype(np.float32)))) > 50
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    not (CKPTS / "music2midi_r4mix_avg4k.npz").exists(),
+    reason="no committed r4mix fine-tune",
+)
+def test_dither_restores_finetune_on_clean_audio():
+    """The pinned regression pair: the r4mix fine-tune returns zero notes
+    on the clean A4 fixture with dither OFF and passes the full
+    calibration gate with dither ON (the default)."""
+    import tempfile
+
+    from music2midi_tpu.audio import write_wav
+    from music2midi_tpu.calibration import check_midi, render_fixture
+    from music2midi_tpu.infer import Music2MIDI
+
+    wav, sr = render_fixture()
+    model = Music2MIDI.from_npz(str(CKPTS / "music2midi_r4mix_avg4k.npz"))
+    with tempfile.TemporaryDirectory() as td:
+        path = str(Path(td) / "a4_22050.wav")
+        write_wav(path, wav, sr)
+        model.input_dither = 0.0
+        off = model.generate(audio_path=path)
+        model.input_dither = 0.003
+        on = model.generate(audio_path=path)
+    n_off = sum(len(i.notes) for i in off.instruments)
+    ok_on, detail = check_midi(on)
+    assert n_off == 0, (
+        "the r4 regression no longer reproduces with dither OFF "
+        f"(got {n_off} notes) — this test's premise changed, re-evaluate"
+    )
+    assert ok_on, f"dither ON still fails the gate on r4mix: {detail}"
