@@ -63,6 +63,16 @@ class DecodeConfig(NamedTuple):
     # measured 514 us/call vs the XLA chain's 153 us (VMEM ceiling forces
     # 4-row blocks; see the kernel docstring).  Requires quantize_*_kv
     # and a TPU backend; silently ignored otherwise.
+    pallas_cross: bool = False  # v2 fused kernel for the CROSS-attention
+    # blocks only (ops/decode_attention.py:decode_attention_cross_t):
+    # the int8 cross KV is stored TRANSPOSED (B, H, D, L) — dense int8
+    # tiles, bf16 products — at the cost of one XLA transpose per
+    # generation (cross KV is write-once).  Requires quantize_cross_kv,
+    # kv_bits=8, batch % 8 == 0 and a TPU backend; silently ignored
+    # otherwise.  Self-attention stays on the XLA chain (a transposed
+    # self cache pays a badly-tiled column write per step — measured
+    # 1.7x worse in r3).  Measured numbers: tools/probe_cross_kernel.py
+    # -> module docstring of ops/decode_attention.py.
     unroll: int = 1  # decode steps per while-loop iteration (early-exit
     # check runs every `unroll` steps).  Real-world factor: trained
     # models early-exit at 30-150 tokens vs the 256 forced in bench.py.
@@ -133,6 +143,19 @@ def generate_tokens(
     use_pallas = bool(
         dcfg.pallas_attention and jax.default_backend() == "tpu"
     )
+    from ..ops import decode_attention as _da
+
+    if (
+        dcfg.pallas_cross and dcfg.quantize_cross_kv
+        and dcfg.kv_bits == 8 and B % _da._B_BLK_X == 0
+        and (jax.default_backend() == "tpu" or _da.INTERPRET)
+    ):
+        # store the cross KV transposed (B, H, D, L): decode_step routes
+        # this layout through the v2 dense-tile kernel unconditionally
+        cross_kv = cross_kv._replace(layers=[
+            (_da.transpose_cross_entry(k), _da.transpose_cross_entry(v))
+            for k, v in cross_kv.layers
+        ])
     # one-time decode weight prep: pre-cast to cfg.dtype + fused qkv/wi
     # (the while_loop then reads half the weight bytes per step); int8
     # weight-only quantization on top when dcfg.quantize_weights

@@ -130,6 +130,12 @@ class Music2MIDI:
         # (models/t5.py:_quantize_w).  OFF by default pending a measured
         # quality/latency result on a trained model; set True to enable.
         self.int8_weights: bool = False
+        # v2 fused Pallas kernel for the cross-attention decode blocks
+        # (ops/decode_attention.py:decode_attention_cross_t): int8 cross
+        # KV stored transposed (B, H, D, L) for dense int8 tiles.  OFF
+        # pending the TPU probe (tools/probe_cross_kernel.py); requires
+        # int8 KV at 8 bits — silently ignored otherwise.
+        self.pallas_cross: bool = False
         # quantized-KV width: 8 (int8, the serving default) or 4
         # (jnp.int4 EXPERIMENT — see decode.py DecodeConfig.kv_bits;
         # check quality with evaluate.py before serving with it)
@@ -348,6 +354,7 @@ class Music2MIDI:
             quantize_weights=bool(self.int8_weights),
             kv_bits=int(self.kv_bits),
             unroll=int(self.unroll),
+            pallas_cross=bool(self.pallas_cross),
         )
 
     @property

@@ -773,7 +773,19 @@ def decode_step(
             _proj(h, layer["ca_q"], cfg.dtype), cfg.num_heads, cfg.d_kv
         )
         if isinstance(cross_kv[i][0], tuple):
-            if pallas_ok and _kv_bits(cross_kv[i][0]) == 8:
+            if cross_kv[i][0][0].shape[-1] != cfg.d_kv:
+                # TRANSPOSED (B, H, D, L) int8 layout: produced only by
+                # generate_tokens' pallas_cross path (dense-tile v2
+                # kernel); the XLA chain never sees this layout
+                from ..ops.decode_attention import (
+                    decode_attention_cross_t,
+                )
+
+                attn_out = decode_attention_cross_t(
+                    q, cross_kv[i][0], cross_kv[i][1],
+                    enc_len=enc_len or cross_kv[i][0][0].shape[-1],
+                )
+            elif pallas_ok and _kv_bits(cross_kv[i][0]) == 8:
                 from ..ops.decode_attention import decode_attention_int8
 
                 attn_out = decode_attention_int8(

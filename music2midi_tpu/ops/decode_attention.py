@@ -25,6 +25,20 @@ One kernel call replaces the ~10-op XLA chain of a single decode-step
 attention block (convert -> scores einsum -> scale fold -> bias -> mask ->
 softmax -> scale fold -> out einsum).
 
+V2 (decode_attention_cross_t, below): the revisit the parked notes asked
+for — CROSS-attention only, over a TRANSPOSED (B, H, D, L) int8 cache.
+With D=64 on sublanes and the lane-padded L=256 on lanes every int8 tile
+is dense (the v1 layout's (L, D=64) tiles waste half of each 128-lane
+vector), products are bf16 with f32 accumulation (v1's f32 temporaries
+forced 4-row blocks), and the whole block computes as vectorized VPU
+multiply-reduce with no per-head loops.  Cross KV has no per-step writes
+(precomputed once per generation), so the transposed layout costs one
+XLA transpose per generation instead of the badly-tiled per-step column
+DUS that made a transposed SELF cache 1.7x worse in r3
+(tools/probe_layer_scan.py) — self stays on the XLA chain.  Measured
+numbers land in the module docstring after the TPU probe
+(tools/probe_cross_kernel.py).
+
 Design notes (TPU):
 
   * The kernel is PURE-READ over the caches: grid = (B / B_BLK,) batch
@@ -195,4 +209,106 @@ def decode_attention_int8(
         step_arr, k8, v8, ks, vs,
         q.astype(jnp.bfloat16), kn8, vn8, kns, vns, bias2d,
     )
+    return out[:, :, None, :].astype(q.dtype)
+
+
+# --------------------------------------------------------------------- #
+# v2: cross-attention over a transposed (B, H, D, L) int8 cache          #
+# --------------------------------------------------------------------- #
+
+_B_BLK_X = 8  # batch rows per grid step (cross v2).  VMEM at H=8, D=64,
+# L=256: int8 K+V blocks 2 MB (double-buffered 4 MB) + bf16/f32
+# temporaries ~6-10 MB, under the 16 MB ceiling; the probe can
+# monkeypatch this to explore 4/16.
+
+
+def transpose_cross_entry(entry):
+    """(int8 (B,H,L,D), scales (B,H,1,L)) -> values swapped to
+    (B,H,D,L) for `decode_attention_cross_t`; scales stay in the
+    score-row layout the kernel folds directly.  One XLA transpose per
+    generation (cross KV is precomputed once, never rewritten)."""
+    vals, scales = entry
+    return jnp.swapaxes(vals, 2, 3), scales
+
+
+def _cross_kernel(
+    kt_ref,  # (B_BLK_X, H, D, L) int8 — dense tiles: D=64 sublanes,
+    vt_ref,  # L (lane-padded multiple of 128) lanes
+    ks_ref,  # (B_BLK_X, H, 1, L) f32 per-position scales
+    vs_ref,
+    q_ref,  # (B_BLK_X, H, 1, D) bf16
+    out_ref,  # (B_BLK_X, H, D) bf16
+    *,
+    enc_len: int,
+    L: int,
+):
+    # scores: q . k per position — elementwise broadcast over the D
+    # sublanes, f32-accumulated lane-preserving reduce.  bf16 products
+    # (vs v1's f32) halve the temporaries; int8 values are exact in bf16
+    # and q is already bf16, so only the products round.
+    qt = jnp.swapaxes(q_ref[...].astype(jnp.bfloat16), 2, 3)  # (B,H,D,1)
+    kb = kt_ref[...].astype(jnp.bfloat16)
+    s = jnp.sum(kb * qt, axis=2, dtype=jnp.float32)  # (B, H, L)
+    s = s * ks_ref[...][:, :, 0, :]
+    if enc_len < L:  # static pad mask, baked at trace time
+        l_pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+        s = jnp.where(l_pos < enc_len, s, jnp.float32(-1e9))
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)  # (B, H, L) f32
+    p = (p * vs_ref[...][:, :, 0, :]).astype(jnp.bfloat16)
+    vb = vt_ref[...].astype(jnp.bfloat16)
+    o = jnp.sum(vb * p[:, :, None, :], axis=3, dtype=jnp.float32)
+    out_ref[...] = o.astype(out_ref.dtype)  # (B, H, D)
+
+
+@functools.partial(jax.jit, static_argnames=("enc_len", "interpret"))
+def decode_attention_cross_t(
+    q: jax.Array,  # (B, H, 1, D) bf16/f32
+    kt_entry,  # (int8 (B, H, D, L), f32 scales (B, H, 1, L))
+    vt_entry,
+    enc_len: int = 0,
+    interpret: bool = False,
+) -> jax.Array:
+    """-> attention output (B, H, 1, D) in q.dtype.
+
+    Cross-attention decode step over TRANSPOSED int8 caches
+    (`transpose_cross_entry`).  Same algebra as
+    models/t5.py:_attention_int8 (folded per-position scales, -1e9 pad
+    masking); no bias, no causal patch — cross only."""
+    interpret = interpret or INTERPRET
+    kt8, ks = kt_entry
+    vt8, vs = vt_entry
+    B, H, D, L = kt8.shape
+    if enc_len <= 0:
+        enc_len = L  # no pad mask (0 would mask EVERY key)
+    if B % _B_BLK_X != 0:
+        raise ValueError(f"batch {B} not a multiple of {_B_BLK_X}")
+    grid = (B // _B_BLK_X,)
+    bspec = lambda shape: pl.BlockSpec(  # noqa: E731
+        (_B_BLK_X,) + shape, lambda i: (i,) + (0,) * len(shape),
+        memory_space=pltpu.VMEM,
+    )
+    out = pl.pallas_call(
+        functools.partial(_cross_kernel, enc_len=enc_len, L=L),
+        grid=grid,
+        in_specs=[
+            bspec((H, D, L)),
+            bspec((H, D, L)),
+            bspec((H, 1, L)),
+            bspec((H, 1, L)),
+            bspec((H, 1, D)),
+        ],
+        out_specs=pl.BlockSpec(
+            (_B_BLK_X, H, D), lambda i: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, H, D), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * L * D,
+            bytes_accessed=2 * B * H * L * D + 8 * B * H * L,
+            transcendentals=B * H * L,
+        ),
+        interpret=interpret,
+    )(kt8, vt8, ks, vs, q.astype(jnp.bfloat16))
     return out[:, :, None, :].astype(q.dtype)
