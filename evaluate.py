@@ -80,6 +80,14 @@ def main():
         help="quantized-KV width in serving mode (4 = jnp.int4 "
              "experiment; see infer/decode.py DecodeConfig.kv_bits)")
     parser.add_argument(
+        "--dither", type=float, default=None,
+        help="override Music2MIDI.input_dither (serving waveform dither "
+             "RMS; see PERFORMANCE.md r5dither)")
+    parser.add_argument(
+        "--mel_floor", type=float, default=None,
+        help="override Music2MIDI.mel_noise_floor (r5clamp per-bin mel "
+             "noise floor sigma; see PERFORMANCE.md r5clamp)")
+    parser.add_argument(
         "--split", type=str, default="test",
         choices=["test", "val", "train"],
         help="which dataset_split ids to score (test = the reference "
@@ -96,6 +104,10 @@ def main():
     if args.int8_weights:
         engine.int8_weights = True
     engine.kv_bits = args.kv_bits  # != 8 implies quantized KV (_dcfg)
+    if args.dither is not None:
+        engine.input_dither = args.dither
+    if args.mel_floor is not None:
+        engine.mel_noise_floor = args.mel_floor
 
     logs = []
     for i, piano_id in enumerate(test_ids):

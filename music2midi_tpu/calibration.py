@@ -53,13 +53,16 @@ def check_midi(mf) -> tuple[bool, str]:
     return ok, detail
 
 
-def check_checkpoint(ckpt: str | Path) -> tuple[bool, str]:
+def check_checkpoint(ckpt: str | Path, **overrides) -> tuple[bool, str]:
     """Run the gate on one npz checkpoint through the full serving path.
 
     Writes the fixture to a temp wav so ``generate(audio_path=...)``
     exercises the same decode+resample branch evaluate.py and the webui
     use.  CPU-safe: caller is responsible for pinning jax to CPU first
-    (the CLI and the test conftest both do).
+    (the CLI and the test conftest both do).  ``overrides`` set engine
+    attributes before generating (e.g. ``input_dither=0.0,
+    mel_noise_floor=0.003`` to gate a non-default serving normalization
+    — PERFORMANCE.md r5clamp).
     """
     import tempfile
 
@@ -70,5 +73,9 @@ def check_checkpoint(ckpt: str | Path) -> tuple[bool, str]:
     with tempfile.TemporaryDirectory() as td:
         path = str(Path(td) / "a4_22050.wav")
         write_wav(path, wav, sr)
-        mf = Music2MIDI.from_npz(str(ckpt)).generate(audio_path=path)
+        engine = Music2MIDI.from_npz(str(ckpt))
+        for name, value in overrides.items():
+            assert hasattr(engine, name), name
+            setattr(engine, name, value)
+        mf = engine.generate(audio_path=path)
     return check_midi(mf)

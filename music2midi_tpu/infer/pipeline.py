@@ -186,6 +186,28 @@ class Music2MIDI:
             mel_cfg=self.mel_config,
         )
 
+    @property
+    def mel_noise_floor(self) -> float:
+        """r5clamp serving floor (ops/mel.py:noise_mel_floor): clamp each
+        mel bin at the expected power of an RMS-sigma white noise floor
+        before the log.  Touches ONLY inputs below the training floor
+        (digital silence, pad tails — the r4 noise-floor OOD class);
+        in-domain audio is bit-unchanged, unlike input_dither (whose
+        measured -0.007/-0.022 split cost retired it as a default —
+        PERFORMANCE.md r5dither step 3).  0.0 = off."""
+        return self.mel_config.noise_floor_sigma
+
+    @mel_noise_floor.setter
+    def mel_noise_floor(self, sigma: float) -> None:
+        self.mel_config = self.mel_config._replace(
+            noise_floor_sigma=float(sigma)
+        )
+        self._generate_fn = functools.partial(
+            _encode_and_generate,
+            t5_cfg=self.t5_config,
+            mel_cfg=self.mel_config,
+        )
+
     # ------------------------------------------------------------------ #
     # constructors                                                        #
     # ------------------------------------------------------------------ #

@@ -37,6 +37,16 @@ class LogMelConfig(NamedTuple):
     f_min: float = 20.0
     n_mels: int = 384
     log_floor: float = 1e-6
+    noise_floor_sigma: float = 0.0  # r5clamp serving floor
+    # (PERFORMANCE.md): clamp each mel bin at the EXPECTED mel power of
+    # an RMS-sigma white gaussian noise floor (the training corpora's
+    # synthesize_corpus --noise default is 0.003) before the log.
+    # 0.0 = off (the bit-parity configuration).  Unlike the waveform
+    # dither (Music2MIDI.input_dither, retired as a default by its
+    # measured -0.007/-0.022 quality cost), this touches ONLY bins that
+    # fall BELOW the training floor — digital silence and zero-pad
+    # tails, the r4 noise-floor OOD class — and leaves in-domain audio
+    # bit-unchanged.
 
 
 # --------------------------------------------------------------------- #
@@ -95,6 +105,28 @@ def _hann_window(n_fft: int) -> np.ndarray:
     """Periodic Hann window (torch.hann_window default)."""
     n = np.arange(n_fft, dtype=np.float64)
     return (0.5 - 0.5 * np.cos(2.0 * np.pi * n / n_fft)).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=8)
+def noise_mel_floor(cfg: LogMelConfig) -> np.ndarray:
+    """(n_mels,) float32: expected mel power of an RMS-sigma white
+    gaussian input through this config's frontend, the r5clamp per-bin
+    serving floor.
+
+    Derivation: for x ~ N(0, sigma^2) i.i.d. and any DFT bin k,
+    E[re_k^2 + im_k^2] = sigma^2 * sum_n hann[n]^2 (the cos^2 + sin^2
+    terms collapse; flat white-noise periodogram scaled by the window
+    energy, independent of k).  Each mel bin then averages
+    E[mel_m] = sigma^2 * sum(hann^2) * colsum(fb)_m.  Never below
+    cfg.log_floor so the log stays defined when a filter column is
+    empty."""
+    w = _hann_window(cfg.n_fft).astype(np.float64)
+    fb = mel_filterbank(
+        cfg.n_fft // 2 + 1, cfg.f_min, cfg.sample_rate / 2.0, cfg.n_mels,
+        cfg.sample_rate,
+    )
+    floor = cfg.noise_floor_sigma ** 2 * float(np.sum(w * w)) * fb.sum(0)
+    return np.maximum(floor, cfg.log_floor).astype(np.float32)
 
 
 def num_frames(n_samples: int, cfg: LogMelConfig) -> int:
@@ -162,6 +194,8 @@ def log_mel_spectrogram(
     mel = jnp.einsum(
         "bfk,km->bfm", power, fb, preferred_element_type=jnp.float32
     )
+    if cfg.noise_floor_sigma > 0.0:
+        mel = jnp.maximum(mel, jnp.asarray(noise_mel_floor(cfg)))
     return jnp.log(jnp.clip(mel, min=cfg.log_floor))
 
 
@@ -182,7 +216,15 @@ def log_mel_spectrogram_fast(
     ):
         from .mel_pallas import log_mel_spectrogram_pallas_fft
 
-        return log_mel_spectrogram_pallas_fft(wave, cfg)
+        out = log_mel_spectrogram_pallas_fft(wave, cfg)
+        if cfg.noise_floor_sigma > 0.0:
+            # the kernel clamps at log_floor in-kernel; the per-bin
+            # r5clamp floor applies as a log-domain max — exactly
+            # equivalent to the power-domain max (log is monotonic)
+            out = jnp.maximum(
+                out, jnp.log(jnp.asarray(noise_mel_floor(cfg)))
+            )
+        return out
     return log_mel_spectrogram(wave, cfg)
 
 

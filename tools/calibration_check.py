@@ -34,15 +34,28 @@ jax.config.update("jax_platforms", "cpu")
 
 
 def main() -> int:
+    import argparse
+
     from music2midi_tpu.calibration import check_checkpoint
 
-    ckpts = sys.argv[1:]
-    if not ckpts:
-        print(__doc__)
-        return 2
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("ckpts", nargs="+")
+    ap.add_argument(
+        "--dither", type=float, default=None,
+        help="override Music2MIDI.input_dither for the gate run")
+    ap.add_argument(
+        "--mel_floor", type=float, default=None,
+        help="override Music2MIDI.mel_noise_floor (r5clamp) for the "
+             "gate run")
+    args = ap.parse_args()
+    overrides = {}
+    if args.dither is not None:
+        overrides["input_dither"] = args.dither
+    if args.mel_floor is not None:
+        overrides["mel_noise_floor"] = args.mel_floor
     all_ok = True
-    for ckpt in ckpts:
-        ok, detail = check_checkpoint(ckpt)
+    for ckpt in args.ckpts:
+        ok, detail = check_checkpoint(ckpt, **overrides)
         print(f"{'PASS' if ok else 'FAIL'} {ckpt}: {detail}")
         all_ok &= ok
     return 0 if all_ok else 1
