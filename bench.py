@@ -99,6 +99,12 @@ def parse_args():
              "infer/decode.py DecodeConfig.kv_bits)",
     )
     p.add_argument(
+        "--pallas_cross", action="store_true",
+        help="v2 fused cross-attention decode kernel over a transposed "
+             "int8 cross KV (ops/decode_attention.py; EXPERIMENT — see "
+             "tools/probe_cross_kernel.py for the measured numbers)",
+    )
+    p.add_argument(
         "--unroll", type=int, default=1,
         help="decode steps per while-loop iteration (DecodeConfig."
              "unroll): greedy tokens unchanged, early-exit granularity "
@@ -142,6 +148,8 @@ def _load_engine(args, trained: bool):
         engine.suppress_tokens = (engine.t5_config.eos_token_id,)
     if args.int8_weights:
         engine.int8_weights = True
+    if args.pallas_cross:
+        engine.pallas_cross = True
     engine.kv_bits = args.kv_bits  # != 8 implies quantized KV (_dcfg)
     # clamp on args too so the result JSON records what actually ran
     args.unroll = max(1, int(args.unroll))
@@ -295,6 +303,7 @@ def main() -> None:
         "int8_weights": bool(args.int8_weights),
         "kv_bits": int(args.kv_bits),
         "unroll": int(args.unroll),
+        "pallas_cross": bool(args.pallas_cross),
         "n_notes": head["n_notes"],
         "decoded_tokens": head["tokens_real"],
         "mfu": mfu(head),
