@@ -35,9 +35,31 @@ multiply-reduce with no per-head loops.  Cross KV has no per-step writes
 (precomputed once per generation), so the transposed layout costs one
 XLA transpose per generation instead of the badly-tiled per-step column
 DUS that made a transposed SELF cache 1.7x worse in r3
-(tools/probe_layer_scan.py) — self stays on the XLA chain.  Measured
-numbers land in the module docstring after the TPU probe
-(tools/probe_cross_kernel.py).
+(tools/probe_layer_scan.py) — self stays on the XLA chain.
+
+V2 MEASURED (tools/probe_cross_kernel.py on the real chip, slope
+protocol, B=128 H=8 D=64 L=256 enc_len=190):
+
+    XLA _attention_int8 chain     151.4 us/call   235 GB/s effective
+    v2 kernel (B_BLK_X=4)         281.7 us/call   0.54x
+    v2 kernel (B_BLK_X=8)          46.7 us/call   763 GB/s  ** 3.24x **
+    v2 kernel (B_BLK_X=16)        154.9 us/call   0.98x
+
+The dense-tile + bf16-product hypothesis is CONFIRMED at the kernel
+level: at B_BLK_X=8 this is the first Pallas decode-attention variant to
+beat the XLA chain (v1 lost 3.4x), at 763 GB/s effective cache
+bandwidth.  END-TO-END it still loses: generate_tokens at B=128,
+max_length=128, int8 self+cross, median of 5 in-process runs =
+1881 ms (XLA cross) vs 1978 ms (pallas_cross) — the cross block is
+<6% of a decode step (weight/matmul traffic dominates at B=128), and
+routing it through a pallas_call costs XLA the fusion of the
+surrounding ca_q/ca_o projections, which eats the 105 us/block saving.
+Greedy tokens agree 39.6% on random-init params (near-uniform logits
+cascade bf16 rounding; interpret-mode parity tests pin the math —
+test_decode_attention.py).  Flag stays DEFAULT OFF
+(DecodeConfig.pallas_cross); the kernel-level win is the reusable
+result — it becomes profitable if/when decode batches shrink or the
+step's matmul share drops.
 
 Design notes (TPU):
 
