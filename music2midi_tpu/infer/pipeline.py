@@ -159,10 +159,20 @@ class Music2MIDI:
         # /root/reference/music2midi/model.py:84 — generate() must work
         # on arbitrary uploads, often noise-floor-free DAW exports).
         # Bit-deterministic (fixed-seed cached tile); int16 transport
-        # preserves it (quantization step 3.05e-5 << 0.003).  Set to 0.0
-        # to disable.  Parity tests feed pre-built chunks to
-        # sample_tokens_batched, which has no dither site.
-        self.input_dither: float = 0.003
+        # preserves it (quantization step 3.05e-5 << 0.003).  Parity
+        # tests feed pre-built chunks to sample_tokens_batched, which
+        # has no dither site.  DEFAULT OFF since the r5 normalization
+        # verdicts (PERFORMANCE.md r5dither step 3 / r5clamp): BOTH
+        # serving-side normalizations failed their pre-declared
+        # quality-neutrality bars on paired split deltas (dither
+        # -0.0066 clean / -0.0216 hard; mel clamp -0.0261 hard), so
+        # neither is on by default.  The r4 zero-notes OOD class stays
+        # closed by (a) the model of record being calibration-passing
+        # on bare weights and (b) tools/chain_lib.sh promote_record
+        # running the calibration gate mechanically at serving defaults
+        # before any promotion.  Set to 0.003 (the training corpora's
+        # noise RMS) for checkpoints that need a training-matched floor.
+        self.input_dither: float = 0.0
         # sampling decode variants (BASELINE config 3): 0.0 => greedy
         # (the parity mode); set temperature/top_k for stochastic covers
         self.temperature: float = 0.0
@@ -192,9 +202,12 @@ class Music2MIDI:
         mel bin at the expected power of an RMS-sigma white noise floor
         before the log.  Touches ONLY inputs below the training floor
         (digital silence, pad tails — the r4 noise-floor OOD class);
-        in-domain audio is bit-unchanged, unlike input_dither (whose
-        measured -0.007/-0.022 split cost retired it as a default —
-        PERFORMANCE.md r5dither step 3).  0.0 = off."""
+        above-floor bins are bit-unchanged, unlike input_dither.  BOTH
+        knobs default OFF: the clamp FAILED its own pre-declared
+        neutrality bar too (-0.0261 [-0.0370, -0.0155] paired hard200
+        delta — the white-noise-derived floor is largest in the wide
+        high-frequency mel bands, where hard-mix content is sparse;
+        PERFORMANCE.md r5clamp Results).  0.0 = off."""
         return self.mel_config.noise_floor_sigma
 
     @mel_noise_floor.setter

@@ -4,10 +4,14 @@ The r4 failure class: digitally-silent background drives log-mel to the
 1e-6 clamp, an input mixed-domain fine-tunes never saw — the committed
 r4mix/r4piano exports return ZERO notes on any waveform without a noise
 floor (VERDICT r4 "what's missing" #1).  `Music2MIDI.input_dither`
-(default 0.003 — the training corpora's own noise RMS,
+(0.003 = the training corpora's own noise RMS,
 data/synthesize_corpus.py --noise) adds a deterministic gaussian floor
 in `_chunk_waveform`, the single chokepoint shared by generate /
-sample_notes / generate_batch.
+sample_notes / generate_batch.  DEFAULT OFF since the r5 normalization
+verdicts (PERFORMANCE.md r5dither step 3 / r5clamp): both serving-side
+normalizations failed their pre-declared quality-neutrality bars, so
+the OOD class is guarded by the calibration-passing model of record +
+the mechanical promote_record gate instead.
 
 Reference contract: generate() must work on arbitrary serving uploads
 (/root/reference/music2midi/model.py:84, /root/reference/webui.py:53-61).
@@ -28,8 +32,11 @@ def engine():
     return Music2MIDI.from_random(seed=0, decode_max_length=8)
 
 
-def test_dither_default_on_and_deterministic(engine):
-    assert engine.input_dither == pytest.approx(0.003)
+def test_dither_default_off_and_deterministic_when_on(engine):
+    # default retired by the r5dither/r5clamp quality verdicts
+    # (PERFORMANCE.md): both normalizations failed neutrality
+    assert engine.input_dither == 0.0
+    engine.input_dither = 0.003
     wave = np.zeros(70_000, dtype=np.float32)  # 2 chunks worth, padded
     a = engine._chunk_waveform(wave)
     b = engine._chunk_waveform(wave)
@@ -43,9 +50,10 @@ def test_dither_default_on_and_deterministic(engine):
     assert float(np.sqrt(np.mean(tail**2))) > 0.002
     # every chunk carries the same tile (cached, seed-pinned)
     np.testing.assert_array_equal(a[0], a[1])
+    engine.input_dither = 0.0  # restore the module-scoped fixture
 
 
-def test_dither_off_restores_exact_chunking(engine):
+def test_dither_off_is_exact_chunking(engine):
     engine.input_dither = 0.0
     try:
         rng = np.random.default_rng(1)
@@ -57,17 +65,21 @@ def test_dither_off_restores_exact_chunking(engine):
             flat[len(wave):], np.zeros(len(flat) - len(wave), np.float32)
         )
     finally:
-        engine.input_dither = 0.003
+        engine.input_dither = 0.0
 
 
 def test_dither_rides_int16_transport(engine):
     # serving transport is int16; the 0.003 floor (≈98 LSB) must survive
-    wave = np.zeros(48_000, dtype=np.float32)
-    chunks = engine._chunk_waveform(wave)
-    enc = (
-        np.clip(chunks * 32768.0, -32768, 32767).round().astype(np.int16)
-    )
-    assert float(np.mean(np.abs(enc.astype(np.float32)))) > 50
+    engine.input_dither = 0.003
+    try:
+        wave = np.zeros(48_000, dtype=np.float32)
+        chunks = engine._chunk_waveform(wave)
+        enc = np.clip(
+            chunks * 32768.0, -32768, 32767
+        ).round().astype(np.int16)
+        assert float(np.mean(np.abs(enc.astype(np.float32)))) > 50
+    finally:
+        engine.input_dither = 0.0
 
 
 @pytest.mark.slow
@@ -77,8 +89,10 @@ def test_dither_rides_int16_transport(engine):
 )
 def test_dither_restores_finetune_on_clean_audio():
     """The pinned regression pair: the r4mix fine-tune returns zero notes
-    on the clean A4 fixture with dither OFF and passes the full
-    calibration gate with dither ON (the default)."""
+    on the clean A4 fixture with dither OFF (the default) and passes the
+    full calibration gate with dither ON — the knob remains the right
+    tool for checkpoints needing a training-matched noise floor even
+    though the r5 quality verdicts retired it as a default."""
     import tempfile
 
     from music2midi_tpu.audio import write_wav
