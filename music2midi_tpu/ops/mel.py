@@ -41,12 +41,14 @@ class LogMelConfig(NamedTuple):
     # (PERFORMANCE.md): clamp each mel bin at the EXPECTED mel power of
     # an RMS-sigma white gaussian noise floor (the training corpora's
     # synthesize_corpus --noise default is 0.003) before the log.
-    # 0.0 = off (the bit-parity configuration).  Unlike the waveform
-    # dither (Music2MIDI.input_dither, retired as a default by its
-    # measured -0.007/-0.022 quality cost), this touches ONLY bins that
-    # fall BELOW the training floor — digital silence and zero-pad
-    # tails, the r4 noise-floor OOD class — and leaves in-domain audio
-    # bit-unchanged.
+    # 0.0 = off (the default: BOTH serving-side normalizations failed
+    # their pre-declared neutrality bars — waveform dither -0.022 hard,
+    # this clamp -0.026 hard, PERFORMANCE.md r5dither/r5clamp).  Unlike
+    # the dither this touches ONLY bins BELOW the training floor
+    # (digital silence, zero-pad tails — the r4 noise-floor OOD class)
+    # and leaves above-floor audio bit-unchanged; it still failed
+    # because E[mel] for a white floor is largest in the wide HF mel
+    # bands, where real dense-mix content is sparse.
 
 
 # --------------------------------------------------------------------- #
